@@ -1,0 +1,187 @@
+"""Second-order (p, q)-biased node2vec walks, batched on TPU.
+
+The reference materialises a Walker alias table per *directed edge*
+(``node2vec/src/node2vec.py:83-113``) — O(sum_dst deg(dst)) memory, the
+scaling wall called out in SURVEY.md §7.  We never materialise per-edge
+tables.  Two TPU-native strategies, statistically equivalent to the
+reference bias rule (``node2vec.py:61-81``):
+
+  w'(x) = w(cur,x)/p  if x == prev
+        = w(cur,x)    if edge(x, prev)
+        = w(cur,x)/q  otherwise
+
+* ``rejection`` (default, scales to any degree): propose x ~ w(cur,·) with
+  one CSR gather, accept with prob bias(x)/max(1/p, 1, 1/q).  The edge
+  check is a vectorised bisection of prev's sorted row.  A bounded
+  ``while_loop`` retries un-accepted walkers; after ``max_trials`` the last
+  proposal stands (acceptance >= min(1/p,1,1/q)/qmax per trial, so the
+  residual bias is (1-a)^max_trials — negligible for practical p, q).
+* ``exact`` (small graphs / parity tests): gather the padded neighbour row,
+  compute the full biased categorical, Gumbel-max sample.  O(B * Dmax).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphtpu.core.graph import Graph, padded_neighbors
+from graphtpu.kernels.sampling import (
+    edge_exists,
+    row_cumulative_weights,
+    uniform_neighbor,
+    weighted_neighbor,
+)
+
+
+def _second_order_step_rejection(
+    g: Graph,
+    cumw,
+    prev: jax.Array,
+    cur: jax.Array,
+    key: jax.Array,
+    inv_p: float,
+    inv_q: float,
+    max_trials: int,
+    weighted: bool,
+) -> jax.Array:
+    qmax = max(inv_p, 1.0, inv_q)
+
+    def propose(k):
+        if weighted:
+            return weighted_neighbor(g, cumw, cur, k)
+        return uniform_neighbor(g, cur, k)
+
+    def cond(state):
+        t, accepted, _, _ = state
+        return (t < max_trials) & ~jnp.all(accepted)
+
+    def body(state):
+        t, accepted, choice, k = state
+        k, k1, k2 = jax.random.split(k, 3)
+        prop = propose(k1)
+        is_ret = prop == prev
+        is_tri = edge_exists(g, prev, prop)
+        bias = jnp.where(is_ret, inv_p, jnp.where(is_tri, 1.0, inv_q))
+        acc = jax.random.uniform(k2, cur.shape) < (bias / qmax)
+        acc = acc | (prop < 0)  # dead walkers: nothing to retry
+        # un-accepted walkers adopt the newest proposal; if this trial
+        # accepts it becomes final, else it is the standing fallback.
+        choice = jnp.where(accepted, choice, prop)
+        accepted = accepted | acc
+        return t + 1, accepted, choice, k
+
+    t0 = jnp.zeros((), jnp.int32)
+    acc0 = jnp.zeros(cur.shape, bool)
+    choice0 = jnp.full(cur.shape, -1, jnp.int32)
+    _, _, choice, _ = jax.lax.while_loop(cond, body, (t0, acc0, choice0, key))
+    return choice
+
+
+def _second_order_step_exact(
+    g: Graph,
+    nbrs: jax.Array,
+    nwts,
+    prev: jax.Array,
+    cur: jax.Array,
+    key: jax.Array,
+    inv_p: float,
+    inv_q: float,
+) -> jax.Array:
+    safe = jnp.maximum(cur, 0)
+    row = nbrs[safe]  # [B, D]
+    valid = row >= 0
+    is_ret = row == prev[:, None]
+    is_tri = edge_exists(g, prev[:, None], row)
+    bias = jnp.where(is_ret, inv_p, jnp.where(is_tri, 1.0, inv_q))
+    if nwts is not None:
+        bias = bias * nwts[safe]
+    logits = jnp.where(valid, jnp.log(bias), -jnp.inf)
+    gum = jax.random.gumbel(key, row.shape)
+    choice = jnp.argmax(logits + gum, axis=1)
+    nxt = jnp.take_along_axis(row, choice[:, None], axis=1)[:, 0]
+    alive = (cur >= 0) & (g.deg[safe] > 0)
+    return jnp.where(alive, nxt, -1)
+
+
+def node2vec_walks(
+    g: Graph,
+    starts: jax.Array,
+    num_steps: int,
+    p: float,
+    q: float,
+    key: jax.Array,
+    weighted: bool = False,
+    mode: str = "rejection",
+    max_trials: int = 24,
+) -> jax.Array:
+    """int32[B, num_steps+1]; first hop is first-order (alias_nodes
+    semantics, ``node2vec.py:28-29``), later hops second-order."""
+    starts = starts.astype(jnp.int32)
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    cumw = row_cumulative_weights(g) if weighted else None
+    if mode == "exact":
+        nbrs, nwts = padded_neighbors(g)
+    else:
+        nbrs, nwts = None, None
+
+    if num_steps == 0:
+        return starts[:, None]
+
+    k0, krest = jax.random.split(key)
+    if weighted:
+        c1 = weighted_neighbor(g, cumw, starts, k0)
+    else:
+        c1 = uniform_neighbor(g, starts, k0)
+
+    if num_steps == 1:
+        return jnp.stack([starts, c1], axis=1)
+
+    def step(carry, k):
+        prev, cur = carry
+        if mode == "exact":
+            nxt = _second_order_step_exact(
+                g, nbrs, nwts, prev, cur, k, inv_p, inv_q
+            )
+        else:
+            nxt = _second_order_step_rejection(
+                g, cumw, prev, cur, k, inv_p, inv_q, max_trials, weighted
+            )
+        nxt = jnp.where(cur < 0, -1, nxt)
+        return (cur, nxt), nxt
+
+    keys = jax.random.split(krest, num_steps - 1)
+    _, cols = jax.lax.scan(step, (starts, c1), keys)
+    return jnp.concatenate([starts[None, :], c1[None, :], cols], axis=0).T
+
+
+def node2vec_transition_probs(
+    g: Graph, prev: int, cur: int, p: float, q: float
+) -> np.ndarray:
+    """Host-side exact next-hop distribution over node ids (dense [V]).
+
+    Reference semantics of ``get_alias_edge`` (``node2vec.py:61-81``) —
+    the parity oracle for the statistical walk tests.
+    """
+    row_ptr = np.asarray(g.row_ptr)
+    col = np.asarray(g.col)
+    w = (
+        np.ones_like(col, np.float32)
+        if g.weight is None
+        else np.asarray(g.weight)
+    )
+    lo, hi = row_ptr[cur], row_ptr[cur + 1]
+    probs = np.zeros(g.n_nodes, np.float64)
+    prev_nbrs = set(col[row_ptr[prev] : row_ptr[prev + 1]].tolist())
+    for e in range(lo, hi):
+        x = int(col[e])
+        if x == prev:
+            b = w[e] / p
+        elif x in prev_nbrs:  # undirected: edge(x, prev) == edge(prev, x)
+            b = w[e]
+        else:
+            b = w[e] / q
+        probs[x] += b
+    s = probs.sum()
+    return probs / s if s > 0 else probs

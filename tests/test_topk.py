@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphtpu.kernels.topk import (
+    topk_rows,
+    merge_topk,
+    bounded_topk_accumulate,
+    bounded_slots_to_topk,
+)
+
+
+def test_topk_rows_with_diag_exclusion():
+    s = jnp.array([[0.5, 1.0, 0.2], [0.9, 0.1, 0.8]])
+    vals, idx = topk_rows(s, 2, exclude_diag_offset=0)
+    np.testing.assert_array_equal(np.asarray(idx), [[1, 2], [0, 2]])
+
+
+def test_merge_topk():
+    va, ia = jnp.array([[3.0, 1.0]]), jnp.array([[5, 7]])
+    vb, ib = jnp.array([[2.0, 0.5]]), jnp.array([[9, 11]])
+    mv, mi = merge_topk(va, ia, vb, ib, 3)
+    np.testing.assert_array_equal(np.asarray(mi), [[5, 9, 7]])
+
+
+def test_bounded_accumulate_matches_reference_smoke():
+    """The FixedCacheMap.java:134-148 main() smoke test, exactly:
+
+    cap=3; put(1,.5) put(2,3) put(3,.1) put(4,8) put(4,8) put(1,.6) put(5,1)
+    -> (3,.1) evicted by (4,8); 4 accumulates to 16; 1 accumulates to 1.1;
+    (5,1) can't evict min 1.1 -> final {1:1.1, 2:3, 4:16}
+    """
+    keys = jnp.array([[1, 2, 3, 4, 4, 1, 5]], jnp.int32)
+    vals = jnp.array([[0.5, 3.0, 0.1, 8.0, 8.0, 0.6, 1.0]], jnp.float32)
+    sk, sv = bounded_topk_accumulate(keys, vals, capacity=3)
+    out_v, out_k = bounded_slots_to_topk(sk, sv, 3)
+    np.testing.assert_array_equal(np.asarray(out_k)[0], [4, 2, 1])
+    np.testing.assert_allclose(np.asarray(out_v)[0], [16.0, 3.0, 1.1])
+
+
+def test_bounded_accumulate_eviction_requires_strictly_greater():
+    # value equal to the min must NOT evict (Java: value > getMinValue())
+    keys = jnp.array([[1, 2, 3]], jnp.int32)
+    vals = jnp.array([[1.0, 2.0, 1.0]], jnp.float32)
+    sk, sv = bounded_topk_accumulate(keys, vals, capacity=2)
+    out_v, out_k = bounded_slots_to_topk(sk, sv, 2)
+    np.testing.assert_array_equal(np.asarray(out_k)[0], [2, 1])
+
+
+def test_bounded_accumulate_skips_negative_keys_and_batches():
+    keys = jnp.array([[1, -1, 1], [7, 8, -1]], jnp.int32)
+    vals = jnp.array([[1.0, 99.0, 2.0], [5.0, 1.0, 99.0]], jnp.float32)
+    sk, sv = bounded_topk_accumulate(keys, vals, capacity=4)
+    out_v, out_k = bounded_slots_to_topk(sk, sv, 2)
+    np.testing.assert_array_equal(np.asarray(out_k), [[1, -1], [7, 8]])
+    np.testing.assert_allclose(np.asarray(out_v), [[3.0, 0.0], [5.0, 1.0]])
+
+
+def test_bounded_accumulate_random_vs_reference_python():
+    """Fuzz against a literal python port of FixedCacheMap semantics."""
+    rng = np.random.default_rng(0)
+    n, cap = 60, 5
+    keys = rng.integers(0, 12, size=n)
+    vals = rng.random(n).astype(np.float32)
+
+    # reference-semantics oracle
+    slots = {}  # key -> val
+    for k, v in zip(keys, vals):
+        k = int(k)
+        if k in slots:
+            slots[k] += v
+        elif len(slots) < cap:
+            slots[k] = float(v)
+        else:
+            mink = min(slots, key=lambda kk: slots[kk])
+            if v > slots[mink]:
+                del slots[mink]
+                slots[k] = float(v)
+
+    sk, sv = bounded_topk_accumulate(
+        jnp.asarray(keys[None, :], jnp.int32),
+        jnp.asarray(vals[None, :]),
+        capacity=cap,
+    )
+    got = {
+        int(k): float(v)
+        for k, v in zip(np.asarray(sk)[0], np.asarray(sv)[0])
+        if k >= 0
+    }
+    assert set(got) == set(slots)
+    for k in slots:
+        np.testing.assert_allclose(got[k], slots[k], rtol=1e-5)
