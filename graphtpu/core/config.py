@@ -105,9 +105,11 @@ class TopSimConfig:
     step: int = 3
     sample: float = 10000.0
     topk: int = TOPK
-    source_tile: int = 128
-    # mass >= split_threshold * degree  => deterministic even split
-    split_threshold: float = 1.0
+    source_tile: int = 32
+    # walker-slot capacity per source; bounds sum(children) = sample +
+    # #parents, so 2x the budget never drops mass in practice
+    frontier_capacity: int = 0  # 0 => 2 * ceil(sample) + 8
+    normalize: bool = True  # divide by sample (reference leaves raw mass)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,8 +40,14 @@ def topk_rows(
         b, v = scores.shape
         rows = jnp.arange(b)
         scores = scores.at[rows, exclude_diag_offset + rows].set(-jnp.inf)
-    vals, idx = jax.lax.top_k(scores, k)
-    return vals, idx.astype(jnp.int32)
+    k_eff = min(k, scores.shape[-1])
+    vals, idx = jax.lax.top_k(scores, k_eff)
+    idx = idx.astype(jnp.int32)
+    if k_eff < k:  # pad to the requested width (idx -1, val 0)
+        pad = ((0, 0),) * (vals.ndim - 1) + ((0, k - k_eff),)
+        vals = jnp.pad(vals, pad)
+        idx = jnp.pad(idx, pad, constant_values=-1)
+    return vals, idx
 
 
 def merge_topk(

@@ -1,0 +1,117 @@
+"""Exact iterative SimRank — two MXU matmuls per iteration.
+
+The reference computes sim'(i,j) = C/(d_i d_j) * sum_{u in N(i), v in N(j)}
+sim(u,v) with a quadruple loop over dense double[V][V] state
+(``simrank/SimRank.java:36-77``, STEP=3 iterations, C=0.6, diag pinned to 1
+during iteration and zeroed afterwards ``:62-65``; gold standard = 30
+iterations per ``benchmark/Test_u_u_TopSim_singleSample.java:17-18``).
+
+In operator form with W = A D^-1 (column-normalised adjacency) the update
+is S' = C * W^T S W — two dense matmuls that map straight onto the MXU.
+Columns of W for degree-0 nodes are zero, reproducing the reference's
+"deg==0 -> sim 0" rule (``SimRank.java:69``).
+
+The weighted variant (``simrank/weighted/WeightedSimRank.java:68-93``,
+STEP=50) is the same operator with W[u,i] = w(i,u)/sum_u w(i,u).
+
+For multi-host scale, :func:`exact_simrank` accepts a sharding for S; with
+S row-sharded over a mesh XLA turns W^T S W into local matmuls plus ICI
+collectives (see graphtpu/dist).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphtpu.core.config import SimRankConfig, WeightedSimRankConfig
+from graphtpu.core.graph import Graph, column_normalized, dense_adjacency
+from graphtpu.kernels.topk import topk_rows
+
+
+@partial(jax.jit, static_argnames=("iterations", "matmul_precision"))
+def _simrank_iterate(
+    w: jax.Array,
+    c: float,
+    iterations: int,
+    matmul_precision: str = "highest",
+) -> jax.Array:
+    v = w.shape[0]
+    eye = jnp.eye(v, dtype=w.dtype)
+
+    def body(_, s):
+        s = c * (w.T @ (s @ w))
+        # pin the diagonal to 1 between iterations (SimRank.java:27-30:
+        # sim[i][i] initialised to 1 and never recomputed)
+        return s * (1 - eye) + eye
+
+    with jax.default_matmul_precision(matmul_precision):
+        s = jax.lax.fori_loop(0, iterations, body, eye)
+    # post-process: sim(i,i) = 0 (SimRank.java:62-65)
+    return s * (1 - eye)
+
+
+def exact_simrank(
+    g: Graph,
+    cfg: SimRankConfig = SimRankConfig(),
+    weighted: bool = False,
+    dtype=jnp.float32,
+    matmul_precision: str = "highest",
+) -> jax.Array:
+    """Dense [V, V] SimRank scores (diag zeroed).  For V up to ~30k on one
+    chip (S is V^2 floats x2 buffers); larger graphs use the sharded path
+    in graphtpu.dist or the MC estimators."""
+    a = dense_adjacency(g, dtype=jnp.float32)
+    if not weighted and g.weight is not None:
+        a = (a > 0).astype(jnp.float32)
+    w = column_normalized(a).astype(dtype)
+    return _simrank_iterate(w, cfg.c, cfg.iterations, matmul_precision)
+
+
+def weighted_simrank(
+    g: Graph,
+    cfg: WeightedSimRankConfig = WeightedSimRankConfig(),
+    **kw,
+) -> jax.Array:
+    return exact_simrank(
+        g, SimRankConfig(c=cfg.c, iterations=cfg.iterations, topk=cfg.topk),
+        weighted=True, **kw,
+    )
+
+
+def simrank_topk(
+    sim: jax.Array, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row descending top-k (values, indices) — the Print.printByOrder
+    extraction (diag already zeroed)."""
+    vals, idx = topk_rows(sim, k)
+    return np.asarray(vals), np.asarray(idx)
+
+
+def exact_simrank_reference_oracle(
+    g: Graph, c: float, iterations: int
+) -> np.ndarray:
+    """Literal numpy port of the SimRank.java quadruple loop — the parity
+    oracle for tests (float64, O(V^2 d^2), tiny graphs only)."""
+    vcount = g.n_nodes
+    rp, col = np.asarray(g.row_ptr), np.asarray(g.col)
+    deg = np.asarray(g.deg)
+    sim = np.eye(vcount)
+    for _ in range(iterations):
+        new = np.eye(vcount)
+        for i in range(vcount):
+            for j in range(i + 1, vcount):
+                if deg[i] == 0 or deg[j] == 0:
+                    new[i, j] = new[j, i] = 0.0
+                    continue
+                ni = col[rp[i] : rp[i + 1]]
+                nj = col[rp[j] : rp[j + 1]]
+                val = c * sim[np.ix_(ni, nj)].sum() / (deg[i] * deg[j])
+                new[i, j] = new[j, i] = val
+        sim = new
+    np.fill_diagonal(sim, 0.0)
+    return sim

@@ -1,0 +1,192 @@
+"""UniWalk — single-walk Monte-Carlo SimRank, batched on TPU.
+
+Reference estimator (``simrank/SingleRandomWalk.java:53-106``): per source
+v, SAMPLE uniform walks of length 2*STEP; for step i, if the prefix
+0..2i is *first-meet* (no palindromic collision: path[j] != path[2i-j]
+for all j < i), add
+
+    C^i * deg(path[i]) / deg(path[2i]) / SAMPLE     to  sim[v][path[2i]].
+
+TPU form: sources are processed in tiles (the batched-source-window idea of
+``giraph/BatchSingleWalkVertex.java:108-133``); each tile generates a
+[T, SAMPLE, 2*STEP+1] walk tensor with one scan, the first-meet test is a
+triangular mask over step prefixes, and increments scatter-add into a
+dense [T, V] tile that is immediately reduced to top-k and streamed out —
+no dense V x V state ever exists.
+
+Path reuse (``SingleRandomWalkOptimal2.java:49-64``,
+``giraph/BatchSingleWalkVertexReuse.java:39-56``): one physical walk of
+length (times-1)*stride + 2*STEP feeds every offset o as a fresh sample for
+source path[o]; per-source sample counts are accumulated and normalised at
+flush exactly like the Giraph sink (``CombineBatchSingleWalkVertexReuse
+.java:79-94``).  Implemented dense-[V,V] for graphs that fit.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphtpu.core.config import UniWalkConfig
+from graphtpu.core.graph import Graph
+from graphtpu.kernels.topk import topk_rows
+from graphtpu.walks.walker import uniform_walks
+
+
+def _first_meet_mask(walks: jax.Array, i: int) -> jax.Array:
+    """first-meet for prefix 0..2i: all j<i have path[j] != path[2i-j].
+
+    walks: [..., L]; returns bool[...].
+    """
+    ok = jnp.ones(walks.shape[:-1], bool)
+    for j in range(i):
+        ok &= walks[..., j] != walks[..., 2 * i - j]
+    return ok
+
+
+def _tile_increments(
+    g: Graph, walks: jax.Array, step: int, c: float, sample: int
+) -> jax.Array:
+    """[T, V] similarity tile from [T, S, 2*step+1] walks."""
+    t, s, _ = walks.shape
+    v = g.n_nodes
+    sim = jnp.zeros((t, v), jnp.float32)
+    deg = g.deg
+    source = walks[:, :, 0]
+    t_idx = jnp.broadcast_to(jnp.arange(t)[:, None], (t, s))
+    for i in range(1, step + 1):
+        inter = walks[:, :, i]
+        target = walks[:, :, 2 * i]
+        ok = (
+            (target >= 0)
+            & (target != source)
+            & _first_meet_mask(walks, i)
+        )
+        val = (
+            (c ** i)
+            * deg[jnp.maximum(inter, 0)].astype(jnp.float32)
+            / jnp.maximum(deg[jnp.maximum(target, 0)], 1).astype(jnp.float32)
+            / sample
+        )
+        val = jnp.where(ok, val, 0.0)
+        sim = sim.at[t_idx, jnp.maximum(target, 0)].add(val)
+    return sim
+
+
+def uniwalk_simrank(
+    g: Graph,
+    cfg: UniWalkConfig = UniWalkConfig(),
+    key: Optional[jax.Array] = None,
+    sources: Optional[np.ndarray] = None,
+    dense: bool = False,
+):
+    """Compute UniWalk SimRank for all (or given) sources.
+
+    Returns ``(topk_values [N, topk], topk_indices [N, topk])`` numpy
+    arrays in source order, or the dense [N, V] matrix when ``dense``.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    v = g.n_nodes
+    if sources is None:
+        sources = np.arange(v, dtype=np.int32)
+    sources = np.asarray(sources, dtype=np.int32)
+    n = len(sources)
+    tile = min(cfg.source_tile, n)
+
+    @jax.jit
+    def run_tile(src_tile: jax.Array, k: jax.Array):
+        starts = jnp.repeat(src_tile, cfg.sample)
+        walks = uniform_walks(g, starts, 2 * cfg.step, k)
+        walks = walks.reshape(tile, cfg.sample, 2 * cfg.step + 1)
+        sim = _tile_increments(g, walks, cfg.step, cfg.c, cfg.sample)
+        # sim(v,v) = 0 (compute() zeroes the diagonal, SingleRandomWalk.java:44)
+        t_idx = jnp.arange(tile)
+        sim = sim.at[t_idx, src_tile].set(0.0)
+        vals, idx = topk_rows(sim, cfg.topk)
+        return sim, vals, idx
+
+    out_vals = np.zeros((n, cfg.topk), np.float32)
+    out_idx = np.zeros((n, cfg.topk), np.int32)
+    out_dense = np.zeros((n, v), np.float32) if dense else None
+    for lo in range(0, n, tile):
+        hi = min(lo + tile, n)
+        chunk = sources[lo:hi]
+        if len(chunk) < tile:  # pad to keep a single compiled shape
+            chunk = np.concatenate(
+                [chunk, np.zeros(tile - len(chunk), np.int32)]
+            )
+        sim, vals, idx = run_tile(
+            jnp.asarray(chunk), jax.random.fold_in(key, lo)
+        )
+        m = hi - lo
+        out_vals[lo:hi] = np.asarray(vals)[:m]
+        out_idx[lo:hi] = np.asarray(idx)[:m]
+        if dense:
+            out_dense[lo:hi] = np.asarray(sim)[:m]
+    if dense:
+        return out_dense
+    return out_vals, out_idx
+
+
+def uniwalk_simrank_reuse(
+    g: Graph,
+    cfg: UniWalkConfig = UniWalkConfig(),
+    key: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Path-reuse variant, dense [V, V] (small graphs).
+
+    ``cfg.reuse_times`` offsets per physical walk; each node launches
+    ``sample // reuse_times`` walkers; every offset position o becomes a
+    fresh sample for source path[o], and each source's estimate is
+    normalised by the number of samples it actually received (the Giraph
+    flush normalisation)."""
+    if key is None:
+        key = jax.random.key(0)
+    v = g.n_nodes
+    times = max(cfg.reuse_times, 1)
+    walkers_per_node = max(cfg.sample // times, 1)
+    length = 2 * cfg.step + (times - 1)
+    starts = jnp.repeat(jnp.arange(v, dtype=jnp.int32), walkers_per_node)
+
+    @jax.jit
+    def run(k):
+        walks = uniform_walks(g, starts, length, k)  # [B, length+1]
+        sim = jnp.zeros((v, v), jnp.float32)
+        counts = jnp.zeros((v,), jnp.float32)
+        deg = g.deg
+        for o in range(times):
+            seg = walks[:, o : o + 2 * cfg.step + 1]
+            src = seg[:, 0]
+            live = src >= 0
+            counts = counts.at[jnp.maximum(src, 0)].add(
+                jnp.where(live, 1.0, 0.0)
+            )
+            for i in range(1, cfg.step + 1):
+                inter = seg[:, i]
+                target = seg[:, 2 * i]
+                ok = (
+                    live
+                    & (target >= 0)
+                    & (target != src)
+                    & _first_meet_mask(seg, i)
+                )
+                val = (
+                    (cfg.c ** i)
+                    * deg[jnp.maximum(inter, 0)].astype(jnp.float32)
+                    / jnp.maximum(
+                        deg[jnp.maximum(target, 0)], 1
+                    ).astype(jnp.float32)
+                )
+                sim = sim.at[jnp.maximum(src, 0), jnp.maximum(target, 0)].add(
+                    jnp.where(ok, val, 0.0)
+                )
+        sim = sim / jnp.maximum(counts, 1.0)[:, None]
+        return sim * (1 - jnp.eye(v, dtype=sim.dtype))
+
+    return np.asarray(run(key))

@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import graphtpu
+from graphtpu.core.config import SGNSConfig, WalkConfig
+from graphtpu.models.sgns import (
+    build_negative_cdf,
+    corpus_counts,
+    subsample_and_compact,
+    train_sgns,
+)
+from graphtpu.pipelines import node2vec_pipeline
+from graphtpu.walks.walker import simulate_walks
+
+
+def test_corpus_counts_ignores_padding():
+    walks = jnp.array([[0, 1, -1], [1, 1, 2]], jnp.int32)
+    counts = np.asarray(corpus_counts(walks, 4))
+    np.testing.assert_array_equal(counts, [1, 3, 1, 0])
+
+
+def test_negative_cdf_proportions():
+    counts = jnp.array([16.0, 81.0, 0.0])
+    cdf = np.asarray(build_negative_cdf(counts))
+    np.testing.assert_allclose(cdf, [8.0, 35.0, 35.0])  # 16^.75=8, 81^.75=27
+
+
+def test_subsample_compacts_rows():
+    walks = jnp.tile(jnp.array([[5, 0, 5, 1, 5, 2]], jnp.int32), (400, 1))
+    counts = jnp.bincount(walks.reshape(-1), length=6)
+    out, mask = subsample_and_compact(walks, counts, sample=1e-4, key=jax.random.key(0))
+    out = np.asarray(out)
+    # token 5 is ~half the corpus -> heavily dropped; rows stay compacted
+    for row in out[:50]:
+        seen_pad = False
+        for x in row:
+            if x < 0:
+                seen_pad = True
+            else:
+                assert not seen_pad, "padding must be a suffix"
+    assert (out == 5).sum() < 400 * 3 * 0.7
+
+
+def test_sgns_learns_structure():
+    """Two disjoint cliques: intra-clique similarity must beat inter."""
+    edges = []
+    for base in (0, 8):
+        for i in range(8):
+            for j in range(i + 1, 8):
+                edges.append([base + i, base + j])
+    g = graphtpu.build_graph(np.array(edges), n_nodes=16)
+    walks = simulate_walks(g, num_walks=30, walk_length=20, key=jax.random.key(0))
+    # batch must not dwarf the vocabulary (collision normalisation makes
+    # per-epoch movement ~ V/B of gensim's; see models/sgns.py)
+    cfg = SGNSConfig(dim=16, window=4, epochs=10, batch_size=64, subsample=0)
+    syn0, _ = train_sgns(walks, 16, cfg)
+    e = syn0 / np.linalg.norm(syn0, axis=1, keepdims=True)
+    sims = e @ e.T
+    intra = (sims[:8, :8].sum() - 8) / (8 * 7) + (sims[8:, 8:].sum() - 8) / (8 * 7)
+    inter = sims[:8, 8:].mean() * 2
+    assert intra / 2 > inter / 2 + 0.3, (intra / 2, inter / 2)
+
+
+def test_pipeline_writes_reference_format(tmp_path, karate):
+    out = str(tmp_path / "karate.emb")
+    emb = node2vec_pipeline(
+        karate,
+        walk_cfg=WalkConfig(num_walks=2, walk_length=10, p=0.25, q=0.25),
+        sgns_cfg=SGNSConfig(dim=8, window=3, epochs=1, batch_size=256),
+        output=out,
+    )
+    assert emb.shape == (35, 8)
+    from graphtpu.io.embfile import read_emb
+
+    labels, vecs = read_emb(out)
+    assert len(labels) == int((np.asarray(karate.deg) > 0).sum())
+    assert vecs.shape[1] == 8
+    assert "0" not in labels  # isolated node excluded
