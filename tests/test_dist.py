@@ -1,0 +1,113 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+from functools import partial
+
+import graphtpu
+from graphtpu.core.config import SGNSConfig, SimRankConfig
+from graphtpu.dist.mesh import make_mesh, make_1d_mesh
+from graphtpu.dist.sgns_dp import make_sgns_train_step
+from graphtpu.dist.simrank_sharded import sharded_exact_simrank
+from graphtpu.dist.frontier import (
+    _pack_buckets,
+    exchange_by_owner,
+    distributed_uniform_walks,
+)
+from graphtpu.simrank.exact import exact_simrank
+
+
+def test_mesh_shapes():
+    m = make_mesh(8, model_parallel=2)
+    assert m.devices.shape == (4, 2)
+    assert m.axis_names == ("data", "model")
+
+
+def test_pack_buckets():
+    pay = jnp.array([10, 11, 12, 13, 14], jnp.int32)
+    owner = jnp.array([1, 0, 1, -1, 0], jnp.int32)
+    b = np.asarray(_pack_buckets(pay, owner, 2, 3, -1))
+    assert sorted(b[0][b[0] >= 0].tolist()) == [11, 14]
+    assert sorted(b[1][b[1] >= 0].tolist()) == [10, 12]
+
+
+def test_pack_buckets_overflow_drops():
+    pay = jnp.arange(5, dtype=jnp.int32)
+    owner = jnp.zeros(5, jnp.int32)
+    b = np.asarray(_pack_buckets(pay, owner, 2, 3, -1))
+    assert (b[0] >= 0).sum() == 3 and (b[1] >= 0).sum() == 0
+
+
+def test_exchange_by_owner_routes_correctly():
+    mesh = make_1d_mesh(4)
+    n_dev, per = 4, 8
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("data"),), out_specs=P("data"))
+    def run(x):
+        # send every value to device (value % 4)
+        owner = x % n_dev
+        (recv,), _ = exchange_by_owner((x,), owner, "data", n_dev, per)
+        return recv[None, :]
+
+    x = jnp.arange(32, dtype=jnp.int32)
+    out = np.asarray(run(x))  # [4, 32]
+    for d in range(4):
+        got = sorted(out[d][out[d] >= 0].tolist())
+        want = sorted([v for v in range(32) if v % 4 == d])
+        assert got == want, (d, got, want)
+
+
+def test_distributed_walks_valid_edges(small_random):
+    g = small_random
+    mesh = make_1d_mesh(8)
+    walks = distributed_uniform_walks(
+        g, n_walkers=64, num_steps=6, key=jax.random.key(0), mesh=mesh
+    )
+    w = np.asarray(walks)
+    assert w.shape == (64, 7)
+    assert (w[:, 0] >= 0).all()
+    rp, col = np.asarray(g.row_ptr), np.asarray(g.col)
+    for b in range(64):
+        for t in range(6):
+            u, v = w[b, t], w[b, t + 1]
+            if v < 0:
+                continue
+            assert v in col[rp[u] : rp[u + 1]], (b, t, u, v)
+
+
+def test_sharded_simrank_matches_single_device(small_random):
+    g = small_random
+    mesh = make_1d_mesh(8)
+    got = np.asarray(sharded_exact_simrank(g, mesh, SimRankConfig(iterations=3)))
+    want = np.asarray(exact_simrank(g, SimRankConfig(iterations=3)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sgns_dp_step_runs_and_matches_shapes():
+    mesh = make_mesh(8, model_parallel=2)
+    cfg = SGNSConfig(dim=32, window=2, negative=3)
+    v = 64
+    shard_params, shard_batch, train_step = make_sgns_train_step(mesh, cfg, v)
+    rng = np.random.default_rng(0)
+    params = shard_params(
+        (
+            jnp.asarray(rng.normal(size=(v, 32)).astype(np.float32)),
+            jnp.zeros((v, 32), jnp.float32),
+        )
+    )
+    b = 16
+    centers = jnp.asarray(rng.integers(0, v, b).astype(np.int32))
+    contexts = jnp.asarray(rng.integers(0, v, (b, 4)).astype(np.int32))
+    mask = jnp.ones((b, 4), bool)
+    negs = jnp.asarray(rng.integers(0, v, (b, 4, 3)).astype(np.int32))
+    centers, contexts, mask, negs = shard_batch(centers, contexts, mask, negs)
+    p1 = np.asarray(params[1])
+    params = train_step(params, centers, contexts, mask, negs, 0.025)
+    assert params[0].shape == (v, 32)
+    # with syn1 = 0, grad(syn0) is exactly 0 on step one (gensim too);
+    # syn1 must move
+    assert not np.allclose(np.asarray(params[1]), p1)
