@@ -43,8 +43,8 @@ def main():
     import jax.numpy as jnp
 
     import graphtpu
-    from graphtpu.core.config import SimRankConfig
-    from graphtpu.simrank.exact import exact_simrank
+    from graphtpu.core.graph import column_normalized, dense_adjacency
+    from graphtpu.simrank.exact import _simrank_iterate
 
     log(f"devices: {jax.devices()}")
 
@@ -60,27 +60,33 @@ def main():
         n_edges_undirected = 330000
     log(f"graph: V={g.n_nodes} slots={g.n_edges}")
 
+    # move W to the device ONCE (the 440MB dense operand dwarfs everything
+    # when re-uploaded per call through the axon tunnel)
+    t0 = time.time()
+    w = column_normalized(dense_adjacency(g))
+    w.block_until_ready()
+    log(f"W build+transfer: {time.time() - t0:.1f}s")
+
     iters = 10
-    cfg = SimRankConfig(iterations=iters)
 
     # compile + warm up (separate iteration count to keep cache split)
     t0 = time.time()
-    s = exact_simrank(g, SimRankConfig(iterations=1), matmul_precision="default")
+    s = _simrank_iterate(w, 0.6, 1, "default")
     s.block_until_ready()
     log(f"warmup(compile): {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    s = exact_simrank(g, cfg, matmul_precision="default")
+    s = _simrank_iterate(w, 0.6, iters, "default")
     s.block_until_ready()
     dt = time.time() - t0
     per_iter = dt / iters
 
     # fidelity check vs highest-precision run (top-20 ranking agreement)
     t0 = time.time()
-    s_hi = exact_simrank(g, SimRankConfig(iterations=3), matmul_precision="highest")
+    s_hi = _simrank_iterate(w, 0.6, 3, "highest")
     s_hi.block_until_ready()
     hi_3 = time.time() - t0
-    s_lo = exact_simrank(g, SimRankConfig(iterations=3), matmul_precision="default")
+    s_lo = _simrank_iterate(w, 0.6, 3, "default")
     sl = np.asarray(s_lo[:512, :10313])
     sh = np.asarray(s_hi[:512, :10313])
     agree = np.mean(

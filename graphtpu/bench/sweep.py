@@ -1,0 +1,127 @@
+"""Benchmark sweep drivers — the ``benchmark/Test_u_u_*`` analog.
+
+The reference's QA is gold-standard sweeps: per dataset, run an
+approximation over a sample grid and score precision@k / NDCG against the
+naive-SimRank gold output (``Test_u_u_TopSim_singleSample.java:25-64``,
+grid {1000, 2500, 5000, 10000, 20000, 40000} ``:38``).  This module runs
+the same protocol over our engines and logs structured results.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from graphtpu.core.config import (
+    SimRankConfig,
+    TopSimConfig,
+    UniWalkConfig,
+)
+from graphtpu.core.graph import Graph
+from graphtpu.eval.precision import ndcg_sim_dicts, precision_sim_dicts
+from graphtpu.kernels.topk import topk_rows
+from graphtpu.simrank.exact import exact_simrank
+from graphtpu.simrank.topsim import topsim_simrank
+from graphtpu.simrank.uniwalk import uniwalk_simrank
+from graphtpu.utils.logging import Log
+
+REFERENCE_SAMPLE_GRID = (1000, 2500, 5000, 10000, 20000, 40000)
+
+
+def sim_matrix_to_dict(sim: np.ndarray, k: int) -> Dict:
+    out = {}
+    for v in range(sim.shape[0]):
+        idx = np.argsort(-sim[v])[:k]
+        out[v] = [(int(i), float(sim[v, i])) for i in idx if sim[v, i] > 0]
+    return out
+
+
+def topk_to_dict(vals: np.ndarray, idx: np.ndarray) -> Dict:
+    out = {}
+    for v in range(vals.shape[0]):
+        out[v] = [
+            (int(i), float(s))
+            for i, s in zip(idx[v], vals[v])
+            if i >= 0 and s > 0
+        ]
+    return out
+
+
+def gold_standard(g: Graph, iterations: int = 30, k: int = 1000) -> Dict:
+    """The reference gold standard: naive SimRank, 30 iterations, top-1000
+    per row (``Test_u_u_TopSim_singleSample.java:17-18``,
+    ``Print.printByOrderAll``)."""
+    sim = np.asarray(exact_simrank(g, SimRankConfig(iterations=iterations)))
+    return sim_matrix_to_dict(sim, k)
+
+
+@dataclasses.dataclass
+class SweepResult:
+    algorithm: str
+    sample: float
+    precision: float
+    ndcg: float
+    seconds: float
+
+
+def sweep_uniwalk(
+    g: Graph,
+    gold: Dict,
+    samples: Sequence[int] = REFERENCE_SAMPLE_GRID,
+    step: int = 3,
+    topk: int = 20,
+    log: Optional[Log] = None,
+    key=None,
+) -> List[SweepResult]:
+    results = []
+    for s in samples:
+        t0 = time.time()
+        vals, idx = uniwalk_simrank(
+            g, UniWalkConfig(sample=s, step=step, topk=topk), key=key
+        )
+        dt = time.time() - t0
+        approx = topk_to_dict(vals, idx)
+        r = SweepResult(
+            "uniwalk", s,
+            precision_sim_dicts(gold, approx, k=topk),
+            ndcg_sim_dicts(gold, approx, k=topk),
+            dt,
+        )
+        results.append(r)
+        if log:
+            log.info(json.dumps(dataclasses.asdict(r)))
+    return results
+
+
+def sweep_topsim(
+    g: Graph,
+    gold: Dict,
+    samples: Sequence[float] = REFERENCE_SAMPLE_GRID,
+    step: int = 3,
+    topk: int = 20,
+    log: Optional[Log] = None,
+    key=None,
+) -> List[SweepResult]:
+    results = []
+    for s in samples:
+        t0 = time.time()
+        vals, idx = topsim_simrank(
+            g, TopSimConfig(sample=float(s), step=step, topk=topk), key=key
+        )
+        dt = time.time() - t0
+        approx = topk_to_dict(vals, idx)
+        r = SweepResult(
+            "topsim_singleSample", s,
+            precision_sim_dicts(gold, approx, k=topk),
+            ndcg_sim_dicts(gold, approx, k=topk),
+            dt,
+        )
+        results.append(r)
+        if log:
+            log.info(json.dumps(dataclasses.asdict(r)))
+    return results
