@@ -71,12 +71,12 @@ def main():
 
     # compile + warm up (separate iteration count to keep cache split)
     t0 = time.time()
-    s = _simrank_iterate(w, 0.6, 1, "default")
+    s = _simrank_iterate(w, 0.6, 1, "high")
     s.block_until_ready()
     log(f"warmup(compile): {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    s = _simrank_iterate(w, 0.6, iters, "default")
+    s = _simrank_iterate(w, 0.6, iters, "high")
     s.block_until_ready()
     dt = time.time() - t0
     per_iter = dt / iters
@@ -86,7 +86,7 @@ def main():
     s_hi = _simrank_iterate(w, 0.6, 3, "highest")
     s_hi.block_until_ready()
     hi_3 = time.time() - t0
-    s_lo = _simrank_iterate(w, 0.6, 3, "default")
+    s_lo = _simrank_iterate(w, 0.6, 3, "high")
     sl = np.asarray(s_lo[:512, :10313])
     sh = np.asarray(s_hi[:512, :10313])
     agree = np.mean(
@@ -95,7 +95,7 @@ def main():
             for r in range(512)
         ]
     )
-    log(f"default-vs-highest top-20 agreement: {agree:.4f}; highest 3-iter: {hi_3:.1f}s")
+    log(f"high-vs-highest top-20 agreement: {agree:.4f}; highest 3-iter: {hi_3:.1f}s")
 
     work_per_iter = (2.0 * n_edges_undirected) ** 2 / 2.0
     updates_per_s = work_per_iter / per_iter
