@@ -111,3 +111,26 @@ def test_sgns_dp_step_runs_and_matches_shapes():
     # with syn1 = 0, grad(syn0) is exactly 0 on step one (gensim too);
     # syn1 must move
     assert not np.allclose(np.asarray(params[1]), p1)
+
+
+def test_distributed_uniwalk_matches_exact_ranking(small_random):
+    from graphtpu.core.config import UniWalkConfig, SimRankConfig
+    from graphtpu.dist.uniwalk_dist import distributed_uniwalk_simrank
+
+    g = small_random
+    mesh = make_1d_mesh(8)
+    vals, idx = distributed_uniwalk_simrank(
+        g, mesh, UniWalkConfig(sample=1500, step=3, topk=5),
+        key=jax.random.key(3),
+    )
+    assert vals.shape == (64, 5)
+    exact = np.asarray(exact_simrank(g, SimRankConfig(iterations=3)))
+    hits, total = 0, 0
+    for r in range(64):
+        ia = set(idx[r][vals[r] > 0].tolist())
+        ib = set(np.argsort(-exact[r])[: len(ia)].tolist())
+        if not ia:
+            continue
+        hits += len(ia & ib)
+        total += len(ia)
+    assert total > 0 and hits / total > 0.5, hits / max(total, 1)

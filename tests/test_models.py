@@ -1,4 +1,5 @@
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -154,3 +155,20 @@ def test_swiss_roll_shape():
     assert x.shape == (500, 3)
     # radius grows with angle: points not coplanar
     assert np.linalg.matrix_rank(x - x.mean(0)) == 3
+
+
+def test_viz_writes_pngs(tmp_path):
+    from graphtpu.viz import (
+        plot_embedding_2d,
+        plot_simrank_neighborhood,
+        plot_swiss_roll_3d,
+    )
+
+    y = np.random.default_rng(0).random((50, 2))
+    p1 = plot_embedding_2d(y, str(tmp_path / "e.png"), color=y[:, 0])
+    x = make_swiss_roll(200)
+    p2 = plot_swiss_roll_3d(x, str(tmp_path / "s.png"))
+    sims = {0: [(1, 0.5), (2, 0.3)], 1: [(2, 0.2)]}
+    p3 = plot_simrank_neighborhood(sims, 0, str(tmp_path / "n.png"))
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 1000
