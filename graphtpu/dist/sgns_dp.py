@@ -55,20 +55,17 @@ def make_sgns_train_step(mesh: Mesh, cfg: SGNSConfig, n_nodes: int):
             jax.device_put(negs, batch_sharding["negs"]),
         )
 
+    from graphtpu.models.sgns import sgns_manual_grads
+
     @partial(
         jax.jit,
         out_shardings=(param_sharding, param_sharding),
         donate_argnums=(0,),
     )
     def train_step(params, centers, contexts, mask, negs, lr):
-        g0, g1 = jax.grad(sgns_loss)(params, centers, contexts, mask, negs)
-        c0 = jnp.bincount(
-            jnp.where(centers >= 0, centers, n_nodes), length=n_nodes + 1
-        )[:n_nodes]
-        hits1 = jnp.concatenate(
-            [jnp.where(mask, contexts, n_nodes).reshape(-1), negs.reshape(-1)]
+        (g0, g1), (c0, c1) = sgns_manual_grads(
+            params, centers, contexts, mask, negs, n_nodes
         )
-        c1 = jnp.bincount(hits1, length=n_nodes + 1)[:n_nodes]
         syn0, syn1 = params
         syn0 = syn0 - lr * g0 / jnp.maximum(c0, 1)[:, None]
         syn1 = syn1 - lr * g1 / jnp.maximum(c1, 1)[:, None]

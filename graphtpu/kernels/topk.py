@@ -60,6 +60,106 @@ def merge_topk(
     return mv, jnp.take_along_axis(idx, mi, axis=1)
 
 
+def segment_topk(
+    targets: jax.Array,
+    values: jax.Array,
+    k: int,
+    n_classes: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k of per-target sums from an item stream — scatter-free.
+
+    ``targets``/``values``: [T, N] items per source (target < 0 = skip).
+    Returns (vals [T, k] descending, idx [T, k], -1 padded).
+
+    TPU-native accumulation: sort items by target (vectorised bitonic sort
+    beats serialized scatter-adds on TPU), prefix-sum the values, read run
+    totals at run boundaries, then ``lax.top_k`` — the whole UniWalk/TopSim
+    "accumulate into a row then extract top-k" flow without materialising
+    a [T, V] tile or issuing a single scatter.
+    """
+    t, n = targets.shape
+    tt = jnp.where(targets >= 0, targets, n_classes).astype(jnp.int32)
+    st, sv = jax.lax.sort((tt, values.astype(jnp.float32)), num_keys=1)
+    csum = jnp.cumsum(sv, axis=1)
+    # run end: last item of each equal-target run
+    is_end = jnp.concatenate(
+        [st[:, :-1] != st[:, 1:], jnp.ones((t, 1), bool)], axis=1
+    )
+    # total of the run ending at i: csum[i] - csum[end of previous run];
+    # the previous run end is found with a cummax over masked positions
+    pos = jnp.arange(n)
+    prev_end_idx = jnp.where(
+        jnp.concatenate([jnp.zeros((t, 1), bool), is_end[:, :-1]], axis=1),
+        pos[None, :] - 1,
+        -1,
+    )
+    prev_end_idx = jax.lax.cummax(prev_end_idx, axis=1)
+    base = jnp.where(
+        prev_end_idx >= 0,
+        jnp.take_along_axis(csum, jnp.maximum(prev_end_idx, 0), axis=1),
+        0.0,
+    )
+    run_total = csum - base
+    cand = jnp.where(is_end & (st < n_classes), run_total, -jnp.inf)
+    vals, pos_k = jax.lax.top_k(cand, min(k, n))
+    idx = jnp.take_along_axis(st, pos_k, axis=1)
+    ok = jnp.isfinite(vals)
+    vals = jnp.where(ok, vals, 0.0).astype(values.dtype)
+    idx = jnp.where(ok, idx, -1)
+    if min(k, n) < k:
+        pad = ((0, 0), (0, k - min(k, n)))
+        vals = jnp.pad(vals, pad)
+        idx = jnp.pad(idx, pad, constant_values=-1)
+    return vals, idx
+
+
+def segment_rows_sum(
+    idx: jax.Array,
+    rows: jax.Array,
+    n_segments: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sum [N, D] rows by segment id — scatter-minimised.
+
+    Returns (sums [n_segments, D], counts [n_segments]).  idx < 0 rows are
+    skipped.  XLA's scatter-add serialises per update row on TPU (the
+    classic embedding-gradient cliff); here the N-row scatter becomes:
+    sort by id, prefix-sum, read run totals at boundaries, compact the
+    (<= n_segments) boundary rows forward, and do ONE small scatter of
+    n_segments rows.
+    """
+    n, d = rows.shape
+    safe = jnp.where(idx >= 0, idx, n_segments).astype(jnp.int32)
+    order = jnp.argsort(safe)
+    si = safe[order]
+    sr = rows[order]
+    csum = jnp.cumsum(sr, axis=0, dtype=jnp.float32)
+    ccnt = jnp.cumsum(jnp.ones((n,), jnp.float32))
+    is_end = jnp.concatenate([si[:-1] != si[1:], jnp.ones((1,), bool)])
+    pos = jnp.arange(n)
+    prev_end_idx = jax.lax.cummax(
+        jnp.where(jnp.concatenate([jnp.zeros((1,), bool), is_end[:-1]]), pos - 1, -1)
+    )
+    base = jnp.where(
+        (prev_end_idx >= 0)[:, None],
+        csum[jnp.maximum(prev_end_idx, 0)],
+        0.0,
+    )
+    base_c = jnp.where(prev_end_idx >= 0, ccnt[jnp.maximum(prev_end_idx, 0)], 0.0)
+    totals = csum - base
+    counts = ccnt - base_c
+    # compact boundary rows to the front (stable sort on end-id), then one
+    # scatter of at most n_segments rows
+    end_id = jnp.where(is_end & (si < n_segments), si, n_segments)
+    ord2 = jnp.argsort(end_id)
+    take = min(n, n_segments)
+    top = ord2[:take]
+    out = jnp.zeros((n_segments + 1, d), jnp.float32)
+    out = out.at[end_id[top]].set(totals[top], mode="drop")
+    out_c = jnp.zeros((n_segments + 1,), jnp.float32)
+    out_c = out_c.at[end_id[top]].set(counts[top], mode="drop")
+    return out[:n_segments].astype(rows.dtype), out_c[:n_segments]
+
+
 def bounded_topk_accumulate(
     keys: jax.Array,
     values: jax.Array,

@@ -84,31 +84,115 @@ def sgns_loss(
     centers: jax.Array,      # [B]
     contexts: jax.Array,     # [B, W2]
     ctx_mask: jax.Array,     # [B, W2] bool
-    negatives: jax.Array,    # [B, W2, N]
+    negatives: jax.Array,    # [B, W2, N] per-pair (gensim) or [B, N] shared
 ) -> jax.Array:
     syn0, syn1 = params
-    b = centers.shape[0]
     v = syn0[jnp.maximum(centers, 0)]                  # [B, D]
     u = syn1[jnp.maximum(contexts, 0)]                 # [B, W2, D]
-    un = syn1[negatives]                               # [B, W2, N, D]
+    un = syn1[negatives]                               # [..., N, D]
     pos_logit = jnp.einsum(
         "bd,bwd->bw", v, u, preferred_element_type=jnp.float32
     )
-    neg_logit = jnp.einsum(
-        "bd,bwnd->bwn", v, un, preferred_element_type=jnp.float32
-    )
-    # accidental negatives equal to the true context (or the center) are
-    # skipped, as gensim does
-    neg_mask = (negatives != contexts[..., None]) & (
-        negatives != centers[:, None, None]
-    )
     m = ctx_mask & (centers >= 0)[:, None]
     pos_l = jax.nn.log_sigmoid(pos_logit) * m
-    neg_l = jax.nn.log_sigmoid(-neg_logit) * (m[..., None] & neg_mask)
+    if negatives.ndim == 3:
+        neg_logit = jnp.einsum(
+            "bd,bwnd->bwn", v, un, preferred_element_type=jnp.float32
+        )
+        # accidental negatives equal to the true context (or the center)
+        # are skipped, as gensim does
+        neg_mask = (negatives != contexts[..., None]) & (
+            negatives != centers[:, None, None]
+        )
+        neg_l = jax.nn.log_sigmoid(-neg_logit) * (m[..., None] & neg_mask)
+        neg_sum = neg_l.sum()
+    else:
+        # shared negatives: each pair (w, n) contributes the same
+        # log sigma(-v.u_n), masked per pair -> coefficient = count of
+        # valid (non-accidental) window slots
+        neg_logit = jnp.einsum(
+            "bd,bnd->bn", v, un, preferred_element_type=jnp.float32
+        )
+        coeff = (
+            m[:, :, None]
+            & (negatives[:, None, :] != contexts[..., None])
+            & (negatives != centers[:, None])[:, None, :]
+        ).sum(axis=1)                                   # [B, N]
+        neg_sum = (jax.nn.log_sigmoid(-neg_logit) * coeff).sum()
     # SUM, not mean: combined with the per-row collision normalisation in
     # the update (see train_sgns), one batched step reproduces the
     # magnitude of gensim's sequential per-pair SGD updates.
-    return -(pos_l.sum() + neg_l.sum())
+    return -(pos_l.sum() + neg_sum)
+
+
+def sgns_manual_grads(
+    params: Tuple[jax.Array, jax.Array],
+    centers: jax.Array,
+    contexts: jax.Array,
+    ctx_mask: jax.Array,
+    negatives: jax.Array,
+    n_nodes: int,
+):
+    """Closed-form SGNS gradients with sort-based row aggregation.
+
+    Equals jax.grad(sgns_loss) but replaces the million-row scatter-adds
+    XLA emits for embedding-table gradients (serialised on TPU) with
+    :func:`graphtpu.kernels.topk.segment_rows_sum`.  Also returns the
+    per-row occurrence counts used for collision normalisation (free from
+    the same pass).  Returns ((g0, g1), (c0, c1)).
+    """
+    from graphtpu.kernels.topk import segment_rows_sum
+
+    syn0, syn1 = params
+    v = syn0[jnp.maximum(centers, 0)]                 # [B, D]
+    u = syn1[jnp.maximum(contexts, 0)]                # [B, W, D]
+    un = syn1[negatives]                              # [..., N, D]
+    pos_logit = jnp.einsum("bd,bwd->bw", v, u, preferred_element_type=jnp.float32)
+    m = (ctx_mask & (centers >= 0)[:, None]).astype(jnp.float32)
+    # d(-log sigma(x))/dx = sigma(x) - 1 ; d(-log sigma(-x))/dx = sigma(x)
+    g_pos = (jax.nn.sigmoid(pos_logit) - 1.0) * m          # [B, W]
+    du = g_pos[..., None] * v[:, None, :]                  # [B, W, D]
+    if negatives.ndim == 3:
+        neg_logit = jnp.einsum(
+            "bd,bwnd->bwn", v, un, preferred_element_type=jnp.float32
+        )
+        neg_mask = (negatives != contexts[..., None]) & (
+            negatives != centers[:, None, None]
+        )
+        mn = m[..., None] * neg_mask.astype(jnp.float32)
+        g_neg = jax.nn.sigmoid(neg_logit) * mn             # [B, W, N]
+        dv = jnp.einsum("bw,bwd->bd", g_pos, u) + jnp.einsum(
+            "bwn,bwnd->bd", g_neg, un
+        )
+        dun = g_neg[..., None] * v[:, None, None, :]       # [B, W, N, D]
+    else:
+        neg_logit = jnp.einsum(
+            "bd,bnd->bn", v, un, preferred_element_type=jnp.float32
+        )
+        coeff = (
+            (m[:, :, None] > 0)
+            & (negatives[:, None, :] != contexts[..., None])
+            & (negatives != centers[:, None])[:, None, :]
+        ).sum(axis=1).astype(jnp.float32)                  # [B, N]
+        g_neg = jax.nn.sigmoid(neg_logit) * coeff          # [B, N]
+        dv = jnp.einsum("bw,bwd->bd", g_pos, u) + jnp.einsum(
+            "bn,bnd->bd", g_neg, un
+        )
+        dun = g_neg[..., None] * v[:, None, :]             # [B, N, D]
+
+    d = syn0.shape[1]
+    g0, c0 = segment_rows_sum(centers, dv, n_nodes)
+    idx1 = jnp.concatenate(
+        [
+            jnp.where(ctx_mask, contexts, -1).reshape(-1),
+            negatives.reshape(-1),
+        ]
+    )
+    rows1 = jnp.concatenate(
+        [du.reshape(-1, d), dun.reshape(-1, d)], axis=0
+    )
+    g1, c1 = segment_rows_sum(idx1, rows1, n_nodes)
+    return (g0, g1), (c0, c1)
 
 
 def _gather_batch(
@@ -137,6 +221,7 @@ def train_sgns(
     cfg: SGNSConfig = SGNSConfig(),
     key: Optional[jax.Array] = None,
     counts: Optional[jax.Array] = None,
+    chunk_steps: int = 50,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Train on a [W, L] walk tensor; returns (syn0, syn1) as numpy [V, D].
 
@@ -165,52 +250,65 @@ def train_sgns(
     steps_per_epoch = slots_per_epoch // batch
     total_steps = max(cfg.epochs * steps_per_epoch, 1)
 
-    grad_fn = jax.grad(sgns_loss)
+    # Steps are scanned in bounded chunks: one device execution stays a
+    # few seconds long (very long single executions trip the remote-TPU
+    # watchdog), and the chunk boundary gives natural checkpoint points.
+    chunk = max(1, min(chunk_steps, steps_per_epoch))
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def run_epoch(params, epoch_idx, ekey):
-        k_sub, k_perm, k_steps = jax.random.split(ekey, 3)
+    @jax.jit
+    def prep_epoch(ekey):
+        k_sub, k_perm = jax.random.split(ekey)
         cwalks, _ = subsample_and_compact(walks, counts, cfg.subsample, k_sub)
         perm = jax.random.permutation(k_perm, slots_per_epoch)
+        return cwalks, perm
 
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
+    def run_chunk(params, cwalks, perm, epoch_idx, ckey, start_step, n_steps):
         def step(params, it):
             i, kk = it
             k_win, k_neg = jax.random.split(kk)
             slots = jax.lax.dynamic_slice(perm, (i * batch,), (batch,))
             centers, contexts, mask = _gather_batch(cwalks, slots, cfg.window, k_win)
-            u = jax.random.uniform(k_neg, (batch, 2 * cfg.window, cfg.negative))
+            nshape = (
+                (batch, cfg.negative)
+                if cfg.shared_negatives
+                else (batch, 2 * cfg.window, cfg.negative)
+            )
+            u = jax.random.uniform(k_neg, nshape)
             negs = jnp.searchsorted(
                 neg_cdf, u * neg_cdf[-1], side="right"
             ).astype(jnp.int32)
             negs = jnp.minimum(negs, n_nodes - 1)
             gstep = epoch_idx * steps_per_epoch + i
             lr = cfg.alpha - (cfg.alpha - cfg.min_alpha) * gstep / total_steps
-            g0, g1 = grad_fn(params, centers, contexts, mask, negs)
-            # Collision normalisation: a row hit k times in one batch gets
-            # its summed gradient divided by k, so the per-occurrence step
-            # matches gensim's sequential update magnitude regardless of
-            # batch size / vocabulary size (stability on tiny vocabs).
-            c0 = jnp.bincount(
-                jnp.where(centers >= 0, centers, n_nodes), length=n_nodes + 1
-            )[:n_nodes]
-            hits1 = jnp.concatenate(
-                [jnp.where(mask, contexts, n_nodes).reshape(-1),
-                 negs.reshape(-1)]
+            # manual gradients + sort-based row aggregation (no large
+            # scatter; see sgns_manual_grads).  Collision normalisation:
+            # a row hit k times in one batch gets its summed gradient
+            # divided by k, so the per-occurrence step matches gensim's
+            # sequential update magnitude regardless of batch size /
+            # vocabulary size (stability on tiny vocabs).
+            (g0, g1), (c0, c1) = sgns_manual_grads(
+                params, centers, contexts, mask, negs, n_nodes
             )
-            c1 = jnp.bincount(hits1, length=n_nodes + 1)[:n_nodes]
             g0 = g0 / jnp.maximum(c0, 1)[:, None]
             g1 = g1 / jnp.maximum(c1, 1)[:, None]
             syn0, syn1 = params
             return (syn0 - lr * g0, syn1 - lr * g1), None
 
-        keys = jax.random.split(k_steps, steps_per_epoch)
+        keys = jax.random.split(ckey, n_steps)
         params, _ = jax.lax.scan(
-            step, params, (jnp.arange(steps_per_epoch), keys)
+            step, params, (start_step + jnp.arange(n_steps), keys)
         )
         return params
 
     params = (syn0, syn1)
     for e in range(cfg.epochs):
-        params = run_epoch(params, e, jax.random.fold_in(k_run, e))
+        ekey = jax.random.fold_in(k_run, e)
+        cwalks, perm = prep_epoch(ekey)
+        for start in range(0, steps_per_epoch, chunk):
+            params = run_chunk(
+                params, cwalks, perm, e, jax.random.fold_in(ekey, start),
+                start, min(chunk, steps_per_epoch - start),
+            )
     syn0, syn1 = params
     return np.asarray(syn0), np.asarray(syn1)

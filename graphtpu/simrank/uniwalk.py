@@ -49,16 +49,14 @@ def _first_meet_mask(walks: jax.Array, i: int) -> jax.Array:
     return ok
 
 
-def _tile_increments(
+def _tile_items(
     g: Graph, walks: jax.Array, step: int, c: float, sample: int
-) -> jax.Array:
-    """[T, V] similarity tile from [T, S, 2*step+1] walks."""
-    t, s, _ = walks.shape
-    v = g.n_nodes
-    sim = jnp.zeros((t, v), jnp.float32)
+):
+    """(targets [T, S*step], values [T, S*step]) increment items from
+    [T, S, 2*step+1] walks; invalid items carry target -1."""
     deg = g.deg
     source = walks[:, :, 0]
-    t_idx = jnp.broadcast_to(jnp.arange(t)[:, None], (t, s))
+    tgt_list, val_list = [], []
     for i in range(1, step + 1):
         inter = walks[:, :, i]
         target = walks[:, :, 2 * i]
@@ -73,9 +71,27 @@ def _tile_increments(
             / jnp.maximum(deg[jnp.maximum(target, 0)], 1).astype(jnp.float32)
             / sample
         )
-        val = jnp.where(ok, val, 0.0)
-        sim = sim.at[t_idx, jnp.maximum(target, 0)].add(val)
-    return sim
+        tgt_list.append(jnp.where(ok, target, -1))
+        val_list.append(jnp.where(ok, val, 0.0))
+    return (
+        jnp.concatenate(tgt_list, axis=1),
+        jnp.concatenate(val_list, axis=1),
+    )
+
+
+def _tile_increments(
+    g: Graph, walks: jax.Array, step: int, c: float, sample: int
+) -> jax.Array:
+    """[T, V] similarity tile from [T, S, 2*step+1] walks (dense path)."""
+    t, s, _ = walks.shape
+    targets, vals = _tile_items(g, walks, step, c, sample)
+    sim = jnp.zeros((t, g.n_nodes), jnp.float32)
+    t_idx = jnp.broadcast_to(
+        jnp.arange(t)[:, None], targets.shape
+    )
+    return sim.at[t_idx, jnp.maximum(targets, 0)].add(
+        jnp.where(targets >= 0, vals, 0.0)
+    )
 
 
 def uniwalk_simrank(
@@ -100,7 +116,7 @@ def uniwalk_simrank(
     tile = min(cfg.source_tile, n)
 
     @jax.jit
-    def run_tile(src_tile: jax.Array, k: jax.Array):
+    def run_tile_dense(src_tile: jax.Array, k: jax.Array):
         starts = jnp.repeat(src_tile, cfg.sample)
         walks = uniform_walks(g, starts, 2 * cfg.step, k)
         walks = walks.reshape(tile, cfg.sample, 2 * cfg.step + 1)
@@ -110,6 +126,19 @@ def uniwalk_simrank(
         sim = sim.at[t_idx, src_tile].set(0.0)
         vals, idx = topk_rows(sim, cfg.topk)
         return sim, vals, idx
+
+    @jax.jit
+    def run_tile_topk(src_tile: jax.Array, k: jax.Array):
+        # scatter-free path: sort-based segment top-k (kernels/topk.py)
+        from graphtpu.kernels.topk import segment_topk
+
+        starts = jnp.repeat(src_tile, cfg.sample)
+        walks = uniform_walks(g, starts, 2 * cfg.step, k)
+        walks = walks.reshape(tile, cfg.sample, 2 * cfg.step + 1)
+        targets, vals = _tile_items(g, walks, cfg.step, cfg.c, cfg.sample)
+        # diagonal exclusion: the source itself never appears as a target
+        # (target != source filtered in _tile_items)
+        return segment_topk(targets, vals, cfg.topk, g.n_nodes)
 
     out_vals = np.zeros((n, cfg.topk), np.float32)
     out_idx = np.zeros((n, cfg.topk), np.int32)
@@ -121,14 +150,18 @@ def uniwalk_simrank(
             chunk = np.concatenate(
                 [chunk, np.zeros(tile - len(chunk), np.int32)]
             )
-        sim, vals, idx = run_tile(
-            jnp.asarray(chunk), jax.random.fold_in(key, lo)
-        )
         m = hi - lo
+        if dense:
+            sim, vals, idx = run_tile_dense(
+                jnp.asarray(chunk), jax.random.fold_in(key, lo)
+            )
+            out_dense[lo:hi] = np.asarray(sim)[:m]
+        else:
+            vals, idx = run_tile_topk(
+                jnp.asarray(chunk), jax.random.fold_in(key, lo)
+            )
         out_vals[lo:hi] = np.asarray(vals)[:m]
         out_idx[lo:hi] = np.asarray(idx)[:m]
-        if dense:
-            out_dense[lo:hi] = np.asarray(sim)[:m]
     if dense:
         return out_dense
     return out_vals, out_idx

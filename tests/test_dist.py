@@ -134,3 +134,23 @@ def test_distributed_uniwalk_matches_exact_ranking(small_random):
         hits += len(ia & ib)
         total += len(ia)
     assert total > 0 and hits / total > 0.5, hits / max(total, 1)
+
+
+def test_distributed_topsim_matches_local(small_random):
+    from graphtpu.core.config import TopSimConfig
+    from graphtpu.dist.topsim_dist import distributed_topsim_simrank
+    from graphtpu.simrank.topsim import topsim_simrank
+
+    g = small_random
+    mesh = make_1d_mesh(8)
+    cfg = TopSimConfig(sample=500.0, step=2, topk=5, source_tile=4)
+    dv, di = distributed_topsim_simrank(g, mesh, cfg, key=jax.random.key(1))
+    assert dv.shape == (64, 5)
+    # statistical agreement with the local kernel (different RNG streams):
+    lv, li = topsim_simrank(g, cfg, key=jax.random.key(2))
+    hits = sum(
+        len(set(di[r][dv[r] > 0]) & set(li[r][lv[r] > 0]))
+        for r in range(64)
+    )
+    denom = sum(len(set(li[r][lv[r] > 0])) for r in range(64))
+    assert denom > 0 and hits / denom > 0.5, hits / max(denom, 1)

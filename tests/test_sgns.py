@@ -77,3 +77,69 @@ def test_pipeline_writes_reference_format(tmp_path, karate):
     assert len(labels) == int((np.asarray(karate.deg) > 0).sum())
     assert vecs.shape[1] == 8
     assert "0" not in labels  # isolated node excluded
+
+
+def test_manual_grads_match_autodiff():
+    from graphtpu.models.sgns import sgns_manual_grads, sgns_loss
+
+    rng = np.random.default_rng(0)
+    v, d, b, w, neg = 20, 8, 6, 3, 4
+    params = (
+        jnp.asarray(rng.normal(scale=0.5, size=(v, d)).astype(np.float32)),
+        jnp.asarray(rng.normal(scale=0.5, size=(v, d)).astype(np.float32)),
+    )
+    centers = jnp.asarray(rng.integers(0, v, b).astype(np.int32))
+    contexts = jnp.asarray(rng.integers(0, v, (b, 2 * w)).astype(np.int32))
+    mask = jnp.asarray(rng.random((b, 2 * w)) < 0.7)
+    negs = jnp.asarray(rng.integers(0, v, (b, 2 * w, neg)).astype(np.int32))
+    (g0, g1), (c0, c1) = sgns_manual_grads(
+        params, centers, contexts, mask, negs, v
+    )
+    a0, a1 = jax.grad(sgns_loss)(params, centers, contexts, mask, negs)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(a0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(a1), atol=2e-5)
+    # counts: every center occurrence; contexts where masked-in + all negs
+    want_c0 = np.bincount(np.asarray(centers), minlength=v)
+    np.testing.assert_array_equal(np.asarray(c0), want_c0)
+    hits = np.concatenate([
+        np.asarray(contexts)[np.asarray(mask)].reshape(-1),
+        np.asarray(negs).reshape(-1),
+    ])
+    np.testing.assert_array_equal(np.asarray(c1), np.bincount(hits, minlength=v))
+
+
+def test_segment_rows_sum_oracle():
+    from graphtpu.kernels.topk import segment_rows_sum
+
+    rng = np.random.default_rng(1)
+    n, d, v = 500, 16, 37
+    idx = rng.integers(-1, v, n)
+    rows = rng.normal(size=(n, d)).astype(np.float32)
+    sums, counts = segment_rows_sum(jnp.asarray(idx), jnp.asarray(rows), v)
+    want = np.zeros((v, d), np.float32)
+    wantc = np.zeros(v)
+    for i, r in zip(idx, rows):
+        if i >= 0:
+            want[i] += r
+            wantc[i] += 1
+    np.testing.assert_allclose(np.asarray(sums), want, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(counts), wantc)
+
+
+def test_manual_grads_match_autodiff_shared_negs():
+    from graphtpu.models.sgns import sgns_manual_grads, sgns_loss
+
+    rng = np.random.default_rng(3)
+    v, d, b, w, neg = 20, 8, 6, 3, 4
+    params = (
+        jnp.asarray(rng.normal(scale=0.5, size=(v, d)).astype(np.float32)),
+        jnp.asarray(rng.normal(scale=0.5, size=(v, d)).astype(np.float32)),
+    )
+    centers = jnp.asarray(rng.integers(0, v, b).astype(np.int32))
+    contexts = jnp.asarray(rng.integers(0, v, (b, 2 * w)).astype(np.int32))
+    mask = jnp.asarray(rng.random((b, 2 * w)) < 0.7)
+    negs = jnp.asarray(rng.integers(0, v, (b, neg)).astype(np.int32))  # shared
+    (g0, g1), _ = sgns_manual_grads(params, centers, contexts, mask, negs, v)
+    a0, a1 = jax.grad(sgns_loss)(params, centers, contexts, mask, negs)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(a0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(a1), atol=2e-5)

@@ -90,3 +90,39 @@ def test_bounded_accumulate_random_vs_reference_python():
     assert set(got) == set(slots)
     for k in slots:
         np.testing.assert_allclose(got[k], slots[k], rtol=1e-5)
+
+
+def test_segment_topk_matches_dense():
+    from graphtpu.kernels.topk import segment_topk
+
+    rng = np.random.default_rng(0)
+    t, n, v, k = 5, 200, 30, 6
+    targets = rng.integers(-1, v, size=(t, n))
+    vals = rng.random((t, n)).astype(np.float32)
+    got_v, got_i = segment_topk(
+        jnp.asarray(targets), jnp.asarray(vals), k, v
+    )
+    dense = np.zeros((t, v), np.float32)
+    for r in range(t):
+        for j in range(n):
+            if targets[r, j] >= 0:
+                dense[r, targets[r, j]] += vals[r, j]
+    for r in range(t):
+        want_idx = np.argsort(-dense[r])[:k]
+        np.testing.assert_allclose(
+            np.asarray(got_v)[r], dense[r][want_idx], rtol=1e-5
+        )
+        # indices must agree where values are distinct
+        np.testing.assert_allclose(
+            dense[r][np.asarray(got_i)[r]], dense[r][want_idx], rtol=1e-5
+        )
+
+
+def test_segment_topk_padding_and_empty():
+    from graphtpu.kernels.topk import segment_topk
+
+    targets = jnp.array([[-1, -1, 2]], jnp.int32)
+    vals = jnp.array([[9.0, 9.0, 0.5]], jnp.float32)
+    v_out, i_out = segment_topk(targets, vals, 4, 10)
+    np.testing.assert_allclose(np.asarray(v_out)[0], [0.5, 0, 0, 0])
+    assert list(np.asarray(i_out)[0]) == [2, -1, -1, -1]
