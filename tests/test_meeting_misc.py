@@ -81,3 +81,27 @@ def test_feature_emitters(tmp_path):
     labels = dict(((s, d), l) for s, d, l in produce_labels(single, double, gold, topk=2))
     assert labels[(0, 1)] == 1 and labels[(0, 2)] == -1
     assert max_precision({"a": 0.2, "b": 0.7}) == ("b", 0.7)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from graphtpu.models.checkpoint import load_state, save_state
+
+    p = str(tmp_path / "ck.npz")
+    save_state(p, {"syn0": np.ones((3, 2))}, step=42, meta={"dim": 2})
+    arrays, step, meta = load_state(p)
+    np.testing.assert_array_equal(arrays["syn0"], np.ones((3, 2)))
+    assert step == 42 and meta == {"dim": 2}
+
+
+def test_weighted_graph_stats():
+    from graphtpu.core.stats import evidence, out_weight_sums, out_weight_variance
+
+    edges = np.array([[0, 1], [0, 2], [1, 2]])
+    wts = np.array([1.0, 3.0, 2.0], np.float32)
+    g = graphtpu.build_graph(edges, wts, n_nodes=3)
+    sums = np.asarray(out_weight_sums(g))
+    np.testing.assert_allclose(sums, [4.0, 3.0, 5.0])  # undirected mirror
+    var = np.asarray(out_weight_variance(g))
+    np.testing.assert_allclose(var[0], 1.0)  # weights {1,3}: var=1
+    ev = np.asarray(evidence(g, jnp.array([0]), jnp.array([1])))
+    np.testing.assert_allclose(ev, [1 - 2.0 ** -2])
