@@ -160,6 +160,47 @@ def segment_rows_sum(
     return out[:n_segments].astype(rows.dtype), out_c[:n_segments]
 
 
+def segment_rows_sum_matmul(
+    idx: jax.Array,
+    rows: jax.Array,
+    n_segments: int,
+    chunk: int = 8192,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Segment row-sum as chunked one-hot matmuls — pure MXU work.
+
+    For each chunk of items: build onehot [C, S] (exact in bf16), then
+    sums += onehot^T @ rows (f32 accumulation).  O(N*S*D) flops but on the
+    MXU that beats both serialised scatters and sort+cumsum for the
+    embedding-gradient shapes (N~2e5, S~1e4, D~128).  Counts come from the
+    same matmul against a ones column.
+    """
+    n, d = rows.shape
+    pad = (-n) % chunk
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), -1, idx.dtype)])
+        rows = jnp.concatenate([rows, jnp.zeros((pad, d), rows.dtype)])
+        n += pad
+    seg_ids = jnp.arange(n_segments, dtype=jnp.int32)
+    sums = jnp.zeros((n_segments, d), jnp.float32)
+    counts = jnp.zeros((n_segments,), jnp.float32)
+    rows_aug = jnp.concatenate(
+        [rows.astype(compute_dtype), jnp.ones((n, 1), compute_dtype)], axis=1
+    )
+    for lo in range(0, n, chunk):
+        ci = jax.lax.dynamic_slice(idx, (lo,), (chunk,))
+        cr = jax.lax.dynamic_slice(rows_aug, (lo, 0), (chunk, d + 1))
+        onehot = (ci[:, None] == seg_ids[None, :]).astype(compute_dtype)
+        acc = jax.lax.dot_general(
+            onehot, cr,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, D+1]
+        sums = sums + acc[:, :d]
+        counts = counts + acc[:, d]
+    return sums.astype(rows.dtype), counts
+
+
 def bounded_topk_accumulate(
     keys: jax.Array,
     values: jax.Array,

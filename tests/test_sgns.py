@@ -143,3 +143,31 @@ def test_manual_grads_match_autodiff_shared_negs():
     a0, a1 = jax.grad(sgns_loss)(params, centers, contexts, mask, negs)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(a0), atol=2e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(a1), atol=2e-5)
+
+
+def test_segment_rows_sum_matmul_matches():
+    from graphtpu.kernels.topk import segment_rows_sum, segment_rows_sum_matmul
+
+    rng = np.random.default_rng(2)
+    n, d, v = 700, 8, 33
+    idx = jnp.asarray(rng.integers(-1, v, n).astype(np.int32))
+    rows = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    s1, c1 = segment_rows_sum(idx, rows, v)
+    s2, c2 = segment_rows_sum_matmul(idx, rows, v, chunk=256, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_segment_rows_sum_pallas_interpret():
+    from graphtpu.kernels.segsum_pallas import segment_rows_sum_pallas
+    from graphtpu.kernels.topk import segment_rows_sum
+
+    rng = np.random.default_rng(5)
+    n, d, v = 600, 7, 40
+    idx = jnp.asarray(rng.integers(-1, v, n).astype(np.int32))
+    rows = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    s1, c1 = segment_rows_sum(idx, rows, v)
+    s2, c2 = segment_rows_sum_pallas(idx, rows, v, chunk=128, tile_s=16, interpret=True)
+    # bf16 matmul inside the kernel: compare loosely
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0.05, rtol=0.02)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
