@@ -43,7 +43,7 @@ def main():
     import jax.numpy as jnp
 
     import graphtpu
-    from graphtpu.core.graph import column_normalized, dense_adjacency
+    from graphtpu.core.graph import dense_adjacency, row_normalized
     from graphtpu.simrank.exact import _simrank_iterate
 
     log(f"devices: {jax.devices()}")
@@ -63,7 +63,7 @@ def main():
     # move W to the device ONCE (the 440MB dense operand dwarfs everything
     # when re-uploaded per call through the axon tunnel)
     t0 = time.time()
-    w = column_normalized(dense_adjacency(g))
+    w = row_normalized(dense_adjacency(g))
     w.block_until_ready()
     log(f"W build+transfer: {time.time() - t0:.1f}s")
 

@@ -249,11 +249,19 @@ def dense_adjacency(g: Graph, dtype=jnp.float32) -> jax.Array:
 
 
 def column_normalized(a: jax.Array) -> jax.Array:
-    """W = A D^-1 (columns sum to 1 where degree > 0).
-
-    This is the operator form of the exact SimRank update
-    ``sim'(i,j) = C/(d_i d_j) * sum_{u in N(i), v in N(j)} sim(u,v)``
-    (``simrank/SimRank.java:67-77``): S' = C * W^T S W.
-    """
+    """W = A D^-1 (columns sum to 1 where in-degree > 0)."""
     colsum = a.sum(axis=0, keepdims=True)
     return jnp.where(colsum > 0, a / jnp.where(colsum > 0, colsum, 1.0), 0.0)
+
+
+def row_normalized(a: jax.Array) -> jax.Array:
+    """P with P[i, u] = a[i, u] / sum_u a[i, u] (row-stochastic).
+
+    Operator form of the exact SimRank update ``sim'(i,j) = C/(d_i d_j) *
+    sum_{u in N(i), v in N(j)} sim(u,v)`` (``simrank/SimRank.java:67-77``)
+    and its weighted form (``weighted/WeightedSimRank.java:68-93``):
+    S' = C * P S P^T.  Rows define each node's *own* neighbour weights, so
+    asymmetric weighted graphs follow the reference semantics exactly.
+    """
+    rowsum = a.sum(axis=1, keepdims=True)
+    return jnp.where(rowsum > 0, a / jnp.where(rowsum > 0, rowsum, 1.0), 0.0)

@@ -1,6 +1,6 @@
 """Sharded exact SimRank — S row-sharded over the mesh.
 
-S' = C * W^T S W with S sharded PartitionSpec('data', None) and W
+S' = C * W S W^T with S sharded PartitionSpec('data', None) and W
 replicated: XLA splits the matmuls per shard and rides ICI for the
 contractions (reduce-scatter / all-gather as needed).  This is the
 scale-out form of the reference's gold-standard computation — the 14-worker
@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from graphtpu.core.config import SimRankConfig
-from graphtpu.core.graph import Graph, column_normalized, dense_adjacency
+from graphtpu.core.graph import Graph, dense_adjacency, row_normalized
 
 
 def sharded_exact_simrank(
@@ -32,14 +32,14 @@ def sharded_exact_simrank(
     repl = NamedSharding(mesh, P())
 
     a = dense_adjacency(g, dtype=jnp.float32)
-    w = jax.device_put(column_normalized(a).astype(dtype), repl)
+    w = jax.device_put(row_normalized(a).astype(dtype), repl)
     eye = jnp.eye(v, dtype=dtype)
 
     @partial(jax.jit, out_shardings=row_shard)
     def run(w):
         eye_s = jax.lax.with_sharding_constraint(eye, row_shard)
         def body(_, s):
-            s = cfg.c * (w.T @ (s @ w))
+            s = cfg.c * (w @ (s @ w.T))
             s = s * (1 - eye_s) + eye_s
             return jax.lax.with_sharding_constraint(s, row_shard)
         with jax.default_matmul_precision(matmul_precision):

@@ -221,7 +221,7 @@ def train_sgns(
     cfg: SGNSConfig = SGNSConfig(),
     key: Optional[jax.Array] = None,
     counts: Optional[jax.Array] = None,
-    chunk_steps: int = 50,
+    chunk_steps: int = 200,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Train on a [W, L] walk tensor; returns (syn0, syn1) as numpy [V, D].
 

@@ -6,17 +6,19 @@ sim(u,v) with a quadruple loop over dense double[V][V] state
 during iteration and zeroed afterwards ``:62-65``; gold standard = 30
 iterations per ``benchmark/Test_u_u_TopSim_singleSample.java:17-18``).
 
-In operator form with W = A D^-1 (column-normalised adjacency) the update
-is S' = C * W^T S W — two dense matmuls that map straight onto the MXU.
-Columns of W for degree-0 nodes are zero, reproducing the reference's
-"deg==0 -> sim 0" rule (``SimRank.java:69``).
+In operator form with P = row-stochastic adjacency (P[i,u] = w(i,u) /
+sum_u w(i,u)) the update is S' = C * P S P^T — two dense matmuls that map
+straight onto the MXU.  Rows of P for degree-0 nodes are zero,
+reproducing the reference's "deg==0 -> sim 0" rule (``SimRank.java:69``);
+row orientation makes asymmetric weighted graphs follow the reference's
+per-node weight semantics.
 
 The weighted variant (``simrank/weighted/WeightedSimRank.java:68-93``,
-STEP=50) is the same operator with W[u,i] = w(i,u)/sum_u w(i,u).
+STEP=50) is the same operator with P[i,u] = w(i,u)/sum_u w(i,u).
 
-For multi-host scale, :func:`exact_simrank` accepts a sharding for S; with
-S row-sharded over a mesh XLA turns W^T S W into local matmuls plus ICI
-collectives (see graphtpu/dist).
+For multi-host scale, see :func:`graphtpu.dist.sharded_exact_simrank`:
+with S row-sharded over a mesh XLA turns P S P^T into local matmuls plus
+ICI collectives.
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphtpu.core.config import SimRankConfig, WeightedSimRankConfig
-from graphtpu.core.graph import Graph, column_normalized, dense_adjacency
+from graphtpu.core.graph import Graph, dense_adjacency, row_normalized
 from graphtpu.kernels.topk import topk_rows
 
 
@@ -40,11 +42,12 @@ def _simrank_iterate(
     iterations: int,
     matmul_precision: str = "highest",
 ) -> jax.Array:
+    """Iterate S' = C * W S W^T with W row-stochastic."""
     v = w.shape[0]
     eye = jnp.eye(v, dtype=w.dtype)
 
     def body(_, s):
-        s = c * (w.T @ (s @ w))
+        s = c * (w @ (s @ w.T))
         # pin the diagonal to 1 between iterations (SimRank.java:27-30:
         # sim[i][i] initialised to 1 and never recomputed)
         return s * (1 - eye) + eye
@@ -68,7 +71,7 @@ def exact_simrank(
     a = dense_adjacency(g, dtype=jnp.float32)
     if not weighted and g.weight is not None:
         a = (a > 0).astype(jnp.float32)
-    w = column_normalized(a).astype(dtype)
+    w = row_normalized(a).astype(dtype)
     return _simrank_iterate(w, cfg.c, cfg.iterations, matmul_precision)
 
 
@@ -90,6 +93,37 @@ def simrank_topk(
     extraction (diag already zeroed)."""
     vals, idx = topk_rows(sim, k)
     return np.asarray(vals), np.asarray(idx)
+
+
+def weighted_simrank_reference_oracle(
+    g: Graph, c: float, iterations: int
+) -> np.ndarray:
+    """Literal numpy port of WeightedSimRank.java:68-93:
+    sim'(i,j) = C * sum_{u,v} w(i,u) w(j,v) sim(u,v) / (sum w(i,.) sum w(j,.))
+    """
+    vcount = g.n_nodes
+    rp, col = np.asarray(g.row_ptr), np.asarray(g.col)
+    w = (
+        np.ones_like(col, np.float64)
+        if g.weight is None
+        else np.asarray(g.weight, np.float64)
+    )
+    sim = np.eye(vcount)
+    wsum = np.array([w[rp[i] : rp[i + 1]].sum() for i in range(vcount)])
+    for _ in range(iterations):
+        new = np.eye(vcount)
+        for i in range(vcount):
+            for j in range(i + 1, vcount):
+                if wsum[i] == 0 or wsum[j] == 0:
+                    new[i, j] = new[j, i] = 0.0
+                    continue
+                ni, wi = col[rp[i] : rp[i + 1]], w[rp[i] : rp[i + 1]]
+                nj, wj = col[rp[j] : rp[j + 1]], w[rp[j] : rp[j + 1]]
+                val = c * (wi[:, None] * wj[None, :] * sim[np.ix_(ni, nj)]).sum()
+                new[i, j] = new[j, i] = val / (wsum[i] * wsum[j])
+        sim = new
+    np.fill_diagonal(sim, 0.0)
+    return sim
 
 
 def exact_simrank_reference_oracle(

@@ -187,3 +187,18 @@ def test_topsim_ranking_beats_noise(small_random):
     )
     p = topk_precision(exact[:32], dense, k=5)
     assert p > 0.6, p
+
+
+def test_weighted_simrank_matches_weighted_oracle():
+    from graphtpu.simrank.exact import weighted_simrank_reference_oracle
+
+    rng = np.random.default_rng(7)
+    edges = rng.integers(0, 20, size=(60, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    wts = rng.random(len(edges)).astype(np.float32) + 0.1
+    g = graphtpu.build_graph(edges, wts, n_nodes=20)
+    got = np.asarray(
+        exact_simrank(g, SimRankConfig(iterations=4), weighted=True)
+    )
+    want = weighted_simrank_reference_oracle(g, c=0.6, iterations=4)
+    np.testing.assert_allclose(got, want, atol=3e-5)

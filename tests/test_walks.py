@@ -160,3 +160,26 @@ def test_alias_method_statistics():
     draws = alias_sample(J, q, rng, 20000)
     freq = np.bincount(draws, minlength=4) / 20000
     np.testing.assert_allclose(freq, probs, atol=0.02)
+
+
+def test_directed_walks_follow_out_edges():
+    import graphtpu
+
+    dg = graphtpu.build_graph(
+        np.array([[0, 1], [1, 2], [2, 0], [2, 3]]), n_nodes=4, directed=True
+    )
+    walks = np.asarray(
+        uniform_walks(dg.out, jnp.zeros(50, jnp.int32), 5, jax.random.key(0))
+    )
+    rp, col = np.asarray(dg.out.row_ptr), np.asarray(dg.out.col)
+    for row in walks:
+        for t in range(5):
+            u, v = row[t], row[t + 1]
+            if v < 0:
+                continue
+            assert v in col[rp[u]: rp[u + 1]]
+    # node 3 is a sink: walks reaching it must stop
+    for row in walks:
+        hit = np.where(row == 3)[0]
+        if len(hit) and hit[0] < 5:
+            assert (row[hit[0] + 1:] == -1).all()
