@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     n2v.add_argument("--delimiter", default=None)
     n2v.add_argument("--seed", type=int, default=0)
     n2v.add_argument("--subsample", type=float, default=1e-3)
+    # the reference __main__ sweeps a p=q grid writing one .emb per setting
+    # (node2vec/src/main.py:117-128); --grid "0.25,0.5,1,2,4" does the same
+    n2v.add_argument("--grid", default=None)
 
     sr = sub.add_parser("simrank", help="exact SimRank -> top-k .sim.txt")
     sr.add_argument("--input", required=True)
@@ -94,20 +97,30 @@ def main(argv=None) -> int:
         )
         if args.directed:
             g = g.out
-        node2vec_pipeline(
-            g,
-            walk_cfg=WalkConfig(
-                num_walks=args.num_walks, walk_length=args.walk_length,
-                p=args.p, q=args.q,
-            ),
-            sgns_cfg=SGNSConfig(
-                dim=args.dimensions, window=args.window_size,
-                epochs=args.iter, subsample=args.subsample, seed=args.seed,
-            ),
-            seed=args.seed,
-            output=args.output,
-        )
-        print(f"wrote {args.output}")
+        if args.grid:
+            pqs = [(float(x), float(x)) for x in args.grid.split(",")]
+        else:
+            pqs = [(args.p, args.q)]
+        for p, q in pqs:
+            out = (
+                args.output
+                if len(pqs) == 1
+                else f"{args.output}.p{p:g}_q{q:g}.emb"
+            )
+            node2vec_pipeline(
+                g,
+                walk_cfg=WalkConfig(
+                    num_walks=args.num_walks, walk_length=args.walk_length,
+                    p=p, q=q,
+                ),
+                sgns_cfg=SGNSConfig(
+                    dim=args.dimensions, window=args.window_size,
+                    epochs=args.iter, subsample=args.subsample, seed=args.seed,
+                ),
+                seed=args.seed,
+                output=out,
+            )
+            print(f"wrote {out}")
         return 0
 
     g = graphtpu.read_edgelist_graph(
