@@ -222,6 +222,8 @@ def train_sgns(
     key: Optional[jax.Array] = None,
     counts: Optional[jax.Array] = None,
     chunk_steps: int = 200,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Train on a [W, L] walk tensor; returns (syn0, syn1) as numpy [V, D].
 
@@ -302,13 +304,45 @@ def train_sgns(
         return params
 
     params = (syn0, syn1)
-    for e in range(cfg.epochs):
+    resume_epoch, resume_start = 0, 0
+    if checkpoint_path:
+        import os
+
+        from graphtpu.models.checkpoint import load_state, save_state
+
+        if os.path.exists(checkpoint_path):
+            arrays, _, meta = load_state(checkpoint_path)
+            params = (jnp.asarray(arrays["syn0"]), jnp.asarray(arrays["syn1"]))
+            resume_epoch = meta.get("epoch", 0)
+            resume_start = meta.get("next_start", 0)
+
+    done_chunks = 0
+    for e in range(resume_epoch, cfg.epochs):
         ekey = jax.random.fold_in(k_run, e)
         cwalks, perm = prep_epoch(ekey)
-        for start in range(0, steps_per_epoch, chunk):
+        start0 = resume_start if e == resume_epoch else 0
+        for start in range(start0, steps_per_epoch, chunk):
+            # PRNG streams key off (epoch, start), so a resumed run
+            # reproduces the uninterrupted trajectory exactly
             params = run_chunk(
                 params, cwalks, perm, e, jax.random.fold_in(ekey, start),
                 start, min(chunk, steps_per_epoch - start),
             )
+            done_chunks += 1
+            nxt = start + chunk
+            if checkpoint_path and checkpoint_every and (
+                done_chunks % checkpoint_every == 0
+            ):
+                meta = (
+                    {"epoch": e, "next_start": nxt}
+                    if nxt < steps_per_epoch
+                    else {"epoch": e + 1, "next_start": 0}
+                )
+                save_state(
+                    checkpoint_path,
+                    {"syn0": np.asarray(params[0]), "syn1": np.asarray(params[1])},
+                    step=done_chunks,
+                    meta=meta,
+                )
     syn0, syn1 = params
     return np.asarray(syn0), np.asarray(syn1)

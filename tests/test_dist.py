@@ -154,3 +154,31 @@ def test_distributed_topsim_matches_local(small_random):
     )
     denom = sum(len(set(li[r][lv[r] > 0])) for r in range(64))
     assert denom > 0 and hits / denom > 0.5, hits / max(denom, 1)
+
+
+def test_sgns_dp_step_equals_single_device():
+    """The sharded train step must produce the same update as the
+    single-device manual-grad step (collectives change nothing)."""
+    from graphtpu.models.sgns import sgns_manual_grads
+
+    mesh = make_mesh(8, model_parallel=2)
+    cfg = SGNSConfig(dim=16, window=2, negative=3)
+    v, b = 48, 16
+    rng = np.random.default_rng(1)
+    p0 = jnp.asarray(rng.normal(scale=0.3, size=(v, 16)).astype(np.float32))
+    p1 = jnp.asarray(rng.normal(scale=0.3, size=(v, 16)).astype(np.float32))
+    centers = jnp.asarray(rng.integers(0, v, b).astype(np.int32))
+    contexts = jnp.asarray(rng.integers(0, v, (b, 4)).astype(np.int32))
+    mask = jnp.asarray(rng.random((b, 4)) < 0.8)
+    negs = jnp.asarray(rng.integers(0, v, (b, 4, 3)).astype(np.int32))
+
+    shard_params, shard_batch, train_step = make_sgns_train_step(mesh, cfg, v)
+    sp = shard_params((p0, p1))
+    sb = shard_batch(centers, contexts, mask, negs)
+    out = train_step(sp, *sb, 0.05)
+
+    (g0, g1), (c0, c1) = sgns_manual_grads((p0, p1), centers, contexts, mask, negs, v)
+    want0 = p0 - 0.05 * g0 / jnp.maximum(c0, 1)[:, None]
+    want1 = p1 - 0.05 * g1 / jnp.maximum(c1, 1)[:, None]
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(want1), atol=1e-5)
