@@ -183,3 +183,15 @@ def test_directed_walks_follow_out_edges():
         hit = np.where(row == 3)[0]
         if len(hit) and hit[0] < 5:
             assert (row[hit[0] + 1:] == -1).all()
+
+
+def test_walks_deterministic_given_key(small_random):
+    """Pure-functional kernels + threefry keys: identical keys give
+    identical walks (SURVEY §5: determinism test replaces race detection;
+    the reference shared a java.util.Random across threads)."""
+    g = small_random
+    a = np.asarray(simulate_walks(g, 2, 12, jax.random.key(9), p=0.5, q=2.0))
+    b = np.asarray(simulate_walks(g, 2, 12, jax.random.key(9), p=0.5, q=2.0))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(simulate_walks(g, 2, 12, jax.random.key(10), p=0.5, q=2.0))
+    assert (a != c).any()
