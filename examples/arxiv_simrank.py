@@ -1,5 +1,15 @@
 """Exact SimRank on arxiv (V=38,741) — beyond the reference's reach.
 
+STATUS (round 1): work in progress.  The [V, V] bf16 matmul itself is
+proven fast at this scale (a bare 38912^3 bf16 dot compiles+runs in 1.6s
+on the chip), but three remote-backend pathologies block the full loop so
+far and are documented in CLAUDE.md: (1) element-wise scatters into
+multi-GB arrays effectively hang, (2) jit functions with no traced inputs
+constant-fold huge iota/where graphs on the client, (3) host->device
+transfer of the 3GB operand runs at ~11MB/s.  Round 2: build P on device
+scatter-free (tiled compare against padded neighbour rows) and feed the
+iteration entirely from device-resident state.
+
 The reference runs exact SimRank only up to ~10k vertices (dense
 double[V][V] on one JVM, ``SURVEY.md §6``); on arxiv it falls back to MC
 approximations.  One TPU chip holds the dense problem in bf16: V padded
@@ -35,25 +45,30 @@ def main(iterations=5, c=0.6, topk=20, n_check=128):
     g = graphtpu.read_edgelist_graph(ARXIV, n_nodes=V_PAD)
     print(f"graph: V={g.n_nodes} slots={g.n_edges} maxdeg={g.max_degree}", flush=True)
 
-    src = jnp.repeat(
-        jnp.arange(V_PAD, dtype=jnp.int32), g.deg, total_repeat_length=g.n_edges
-    )
-
-    @jax.jit
-    def build_p():
-        # scatter 1/deg directly — no full-size f32 intermediate exists
-        vals = (
-            1.0 / jnp.maximum(g.deg[src], 1).astype(jnp.float32)
-        ).astype(jnp.bfloat16)
-        p = jnp.zeros((V_PAD, V_PAD), jnp.bfloat16)
-        return p.at[src, g.col].set(vals)
-
+    # build P host-side in bf16 and ship it once: device scatters of
+    # individual elements are pathological on this backend (CLAUDE.md)
     t0 = time.time()
-    p = build_p()
-    p.block_until_ready()
-    print(f"P built on device: {time.time() - t0:.1f}s", flush=True)
+    import ml_dtypes
 
-    eye_idx = jnp.arange(V_PAD)
+    deg = np.asarray(g.deg)
+    src_np = np.repeat(np.arange(V_PAD), deg)
+    p_host = np.zeros((V_PAD, V_PAD), dtype=ml_dtypes.bfloat16)
+    p_host[src_np, np.asarray(g.col)] = (
+        1.0 / np.maximum(deg[src_np], 1)
+    ).astype(ml_dtypes.bfloat16)
+    print(f"P built on host: {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    p = jnp.asarray(p_host)
+    p.block_until_ready()
+    del p_host
+    print(f"P transferred: {time.time() - t0:.1f}s", flush=True)
+
+    def pin_diag(x, val):
+        # fused iota-compare select: single-element scatters into multi-GB
+        # arrays are pathologically slow on this backend (CLAUDE.md)
+        r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.where(r == col, jnp.bfloat16(val), x)
 
     @jax.jit
     def one_iter(s):
@@ -66,13 +81,13 @@ def main(iterations=5, c=0.6, topk=20, n_check=128):
         s2 = jnp.bfloat16(c) * jax.lax.dot(
             p, t, preferred_element_type=jnp.bfloat16
         )
-        return s2.at[eye_idx, eye_idx].set(jnp.bfloat16(1.0))
+        return pin_diag(s2, 1.0)
 
-    s = (
-        jnp.zeros((V_PAD, V_PAD), jnp.bfloat16)
-        .at[eye_idx, eye_idx]
-        .set(jnp.bfloat16(1.0))
-    )
+    @jax.jit
+    def init_s():
+        return pin_diag(jnp.zeros((V_PAD, V_PAD), jnp.bfloat16), 1.0)
+
+    s = init_s()
     t0 = time.time()
     s = one_iter(s)
     s.block_until_ready()
@@ -83,7 +98,7 @@ def main(iterations=5, c=0.6, topk=20, n_check=128):
     s.block_until_ready()
     per = (time.time() - t0) / max(iterations - 1, 1)
     print(f"per-iter: {per:.2f}s ({2 * 2 * V_PAD**3 / per / 1e12:.1f} Tflop/s eff)", flush=True)
-    s = s.at[eye_idx, eye_idx].set(jnp.bfloat16(0.0))
+    s = jax.jit(lambda x: pin_diag(x, 0.0))(s)
 
     # top-k for a check subset + validation vs UniWalk MC
     rows = s[:n_check].astype(jnp.float32)
