@@ -45,30 +45,53 @@ def main(iterations=5, c=0.6, topk=20, n_check=128):
     g = graphtpu.read_edgelist_graph(ARXIV, n_nodes=V_PAD)
     print(f"graph: V={g.n_nodes} slots={g.n_edges} maxdeg={g.max_degree}", flush=True)
 
-    # build P host-side in bf16 and ship it once: device scatters of
-    # individual elements are pathological on this backend (CLAUDE.md)
-    t0 = time.time()
-    import ml_dtypes
+    # build P fully on device, scatter-free: for each row tile, mark
+    # membership via the vectorised CSR bisection (gathers only), then
+    # stitch tiles with dynamic_update_slice.  No multi-GB transfer, no
+    # element scatters (both pathological here — see CLAUDE.md).
+    from graphtpu.kernels.sampling import edge_exists
 
-    deg = np.asarray(g.deg)
-    src_np = np.repeat(np.arange(V_PAD), deg)
-    p_host = np.zeros((V_PAD, V_PAD), dtype=ml_dtypes.bfloat16)
-    p_host[src_np, np.asarray(g.col)] = (
-        1.0 / np.maximum(deg[src_np], 1)
-    ).astype(ml_dtypes.bfloat16)
-    print(f"P built on host: {time.time() - t0:.1f}s", flush=True)
+    TR = 2048
+    inv_deg = (1.0 / jnp.maximum(g.deg, 1).astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+    cols = jnp.arange(V_PAD, dtype=jnp.int32)
+
+    @jax.jit
+    def p_tile(row0):
+        rows = row0 + jnp.arange(TR, dtype=jnp.int32)
+        exists = edge_exists(g, rows[:, None], cols[None, :])
+        return jnp.where(exists, inv_deg[rows][:, None], jnp.bfloat16(0.0))
+
+    @jax.jit
+    def put_tile(pbuf, tile, row0):
+        return jax.lax.dynamic_update_slice(pbuf, tile, (row0, 0))
+
+    @jax.jit
+    def put_tile_b(pbuf, tile, row0):
+        return jax.lax.dynamic_update_slice(pbuf, tile, (row0, 0))
+
     t0 = time.time()
-    p = jnp.asarray(p_host)
+    p = jnp.zeros((V_PAD, V_PAD), jnp.bfloat16)
+    for row0 in range(0, V_PAD, TR):
+        p = put_tile(p, p_tile(jnp.int32(row0)), jnp.int32(row0))
     p.block_until_ready()
-    del p_host
-    print(f"P transferred: {time.time() - t0:.1f}s", flush=True)
+    print(f"P built on device (bisection tiles): {time.time() - t0:.1f}s", flush=True)
 
-    def pin_diag(x, val):
-        # fused iota-compare select: single-element scatters into multi-GB
-        # arrays are pathologically slow on this backend (CLAUDE.md)
-        r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        return jnp.where(r == col, jnp.bfloat16(val), x)
+    # device-resident diagonal mask, built from traced row offsets so the
+    # client can NEVER constant-fold the [V, V] graph (pathology #2 —
+    # input-free or value-independent jits fold for minutes on the host)
+    @jax.jit
+    def mask_tile(row0):
+        rows = row0 + jnp.arange(TR, dtype=jnp.int32)
+        return rows[:, None] == cols[None, :]
+
+    t0 = time.time()
+    diag = jnp.zeros((V_PAD, V_PAD), bool)
+    for row0 in range(0, V_PAD, TR):
+        diag = put_tile_b(diag, mask_tile(jnp.int32(row0)), jnp.int32(row0))
+    diag.block_until_ready()
+    print(f"diag mask built: {time.time() - t0:.1f}s", flush=True)
 
     @jax.jit
     def one_iter(s):
@@ -81,13 +104,9 @@ def main(iterations=5, c=0.6, topk=20, n_check=128):
         s2 = jnp.bfloat16(c) * jax.lax.dot(
             p, t, preferred_element_type=jnp.bfloat16
         )
-        return pin_diag(s2, 1.0)
+        return jnp.where(diag, jnp.bfloat16(1.0), s2)
 
-    @jax.jit
-    def init_s():
-        return pin_diag(jnp.zeros((V_PAD, V_PAD), jnp.bfloat16), 1.0)
-
-    s = init_s()
+    s = jax.jit(lambda d: d.astype(jnp.bfloat16))(diag)
     t0 = time.time()
     s = one_iter(s)
     s.block_until_ready()
@@ -98,7 +117,7 @@ def main(iterations=5, c=0.6, topk=20, n_check=128):
     s.block_until_ready()
     per = (time.time() - t0) / max(iterations - 1, 1)
     print(f"per-iter: {per:.2f}s ({2 * 2 * V_PAD**3 / per / 1e12:.1f} Tflop/s eff)", flush=True)
-    s = jax.jit(lambda x: pin_diag(x, 0.0))(s)
+    s = jax.jit(lambda x, d: jnp.where(d, jnp.bfloat16(0.0), x))(s, diag)
 
     # top-k for a check subset + validation vs UniWalk MC
     rows = s[:n_check].astype(jnp.float32)
