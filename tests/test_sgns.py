@@ -5,6 +5,8 @@ import numpy as np
 import graphtpu
 from graphtpu.core.config import SGNSConfig, WalkConfig
 from graphtpu.models.sgns import (
+    alias_draw_batch,
+    build_negative_alias,
     build_negative_cdf,
     corpus_counts,
     subsample_and_compact,
@@ -24,6 +26,21 @@ def test_negative_cdf_proportions():
     counts = jnp.array([16.0, 81.0, 0.0])
     cdf = np.asarray(build_negative_cdf(counts))
     np.testing.assert_allclose(cdf, [8.0, 35.0, 35.0])  # 16^.75=8, 81^.75=27
+
+
+def test_negative_alias_matches_unigram_distribution():
+    """Alias draws reproduce the unigram^0.75 distribution (the production
+    negative sampler — O(1)/draw, no searchsorted while-loop)."""
+    counts = jnp.array([16.0, 81.0, 1.0, 0.0, 256.0])
+    j, q = build_negative_alias(counts)
+    samples = np.asarray(
+        alias_draw_batch(j, q, jax.random.key(0), (200_000,))
+    )
+    emp = np.bincount(samples, minlength=5) / samples.size
+    w = np.asarray(counts) ** 0.75
+    expect = w / w.sum()
+    assert emp[3] == 0.0  # zero-count token never drawn
+    np.testing.assert_allclose(emp, expect, atol=5e-3)
 
 
 def test_subsample_compacts_rows():

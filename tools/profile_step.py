@@ -22,7 +22,8 @@ import numpy as np
 def main(logdir="/tmp/jaxprof"):
     from graphtpu.models.sgns import (
         _gather_batch,
-        build_negative_cdf,
+        alias_draw_batch,
+        build_negative_alias,
         corpus_counts,
         sgns_manual_grads,
     )
@@ -30,7 +31,7 @@ def main(logdir="/tmp/jaxprof"):
     V, D, B, W, N = 10313, 128, 8192, 10, 5
     walks = jnp.asarray(np.load("/tmp/blog_walks.npy"))
     counts = corpus_counts(walks, V)
-    neg_cdf = build_negative_cdf(counts)
+    neg_j, neg_q = build_negative_alias(counts)
     rng = np.random.default_rng(0)
     params = (
         jnp.asarray(rng.normal(scale=0.01, size=(V, D)).astype(np.float32)),
@@ -42,10 +43,7 @@ def main(logdir="/tmp/jaxprof"):
         k_s, k_win, k_neg = jax.random.split(k, 3)
         slots = jax.random.randint(k_s, (B,), 0, walks.size)
         centers, contexts, mask = _gather_batch(walks, slots, W, k_win)
-        u = jax.random.uniform(k_neg, (B, N))
-        negs = jnp.minimum(
-            jnp.searchsorted(neg_cdf, u * neg_cdf[-1], side="right"), V - 1
-        ).astype(jnp.int32)
+        negs = alias_draw_batch(neg_j, neg_q, k_neg, (B, N))
         (g0, g1), (c0, c1) = sgns_manual_grads(
             params, centers, contexts, mask, negs, V
         )
