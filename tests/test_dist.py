@@ -136,6 +136,31 @@ def test_distributed_uniwalk_matches_exact_ranking(small_random):
     assert total > 0 and hits / total > 0.5, hits / max(total, 1)
 
 
+def test_distributed_uniwalk_reuse_matches_exact_ranking(small_random):
+    from graphtpu.core.config import UniWalkConfig, SimRankConfig
+    from graphtpu.dist.uniwalk_dist import distributed_uniwalk_simrank_reuse
+
+    g = small_random
+    mesh = make_1d_mesh(8)
+    vals, idx = distributed_uniwalk_simrank_reuse(
+        g, mesh, UniWalkConfig(sample=1600, step=3, topk=5, reuse_times=4),
+        key=jax.random.key(7),
+    )
+    assert vals.shape == (64, 5)
+    assert (vals >= 0).all()
+    exact = np.asarray(exact_simrank(g, SimRankConfig(iterations=3)))
+    hits, total = 0, 0
+    for r in range(64):
+        ia = set(idx[r][vals[r] > 0].tolist())
+        ib = set(np.argsort(-exact[r])[: len(ia)].tolist())
+        if not ia:
+            continue
+        assert r not in ia  # diag zeroed on the owner shard
+        hits += len(ia & ib)
+        total += len(ia)
+    assert total > 0 and hits / total > 0.5, hits / max(total, 1)
+
+
 def test_distributed_topsim_matches_local(small_random):
     from graphtpu.core.config import TopSimConfig
     from graphtpu.dist.topsim_dist import distributed_topsim_simrank
