@@ -97,10 +97,23 @@ def massive_bipartite_graph(
     out_path: str,
     seed: int = 0,
     chunk: int = 2_000_000,
+    use_native: bool = True,
 ) -> int:
     """Streamed deduped bipartite edge-list writer for huge V
-    (GraphGeneratorBf.java's role).  Exact dedup per chunk via uint64 set
-    union across a rolling sorted array.  Returns edges written."""
+    (GraphGeneratorBf.java's role).  Prefers the multithreaded C++
+    generator with Bloom-filter dedup (native/generate.cpp — the direct
+    GraphGeneratorBf equivalent); falls back to exact numpy dedup via
+    uint64 set union across a rolling sorted array.  Returns edges
+    written."""
+    if use_native:
+        from graphtpu.native import native_generate_graph
+
+        n = native_generate_graph(
+            out_path, "bipartite", n_left, n_right,
+            (n_left + n_right) * avg_degree // 2, seed=seed,
+        )
+        if n is not None:
+            return n
     rng = np.random.default_rng(seed)
     target = (n_left + n_right) * avg_degree // 2
     seen = np.empty(0, dtype=np.uint64)

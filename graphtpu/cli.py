@@ -80,6 +80,41 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--algorithm", choices=["uniwalk", "topsim"], default="uniwalk")
     sw.add_argument("--samples", type=int, nargs="+", default=None)
     sw.add_argument("--delimiter", default=None)
+
+    # utils/GraphGenerator.java mains + GraphGeneratorBf + RMATGraphGenerator
+    gen = sub.add_parser("generate", help="synthetic graph -> edge list")
+    gen.add_argument("--output", required=True)
+    gen.add_argument(
+        "--kind",
+        choices=["uniform", "bipartite", "directed", "rmat", "massive"],
+        default="uniform",
+    )
+    gen.add_argument("--nodes", type=int, default=10000, help="V (left side for bipartite)")
+    gen.add_argument("--right", type=int, default=0, help="right-side V for bipartite/massive")
+    gen.add_argument("--avg-degree", type=int, default=10)
+    gen.add_argument("--scale", type=int, default=14, help="rmat: V = 2^scale")
+    gen.add_argument("--edges", type=int, default=0, help="rmat: edge count")
+    gen.add_argument("--seed", type=int, default=0)
+
+    # SDNE/SDNE.py training flow (sparse AE; reference trains it on MNIST)
+    sd = sub.add_parser("sdne", help="SDNE sparse autoencoder -> embeddings")
+    sd.add_argument("--input", required=True,
+                    help="edge list; rows of the adjacency are the AE inputs")
+    sd.add_argument("--output", required=True, help=".emb output")
+    sd.add_argument("--steps", type=int, default=2000)
+    sd.add_argument("--hidden", type=int, nargs="+", default=None,
+                    help="encoder widths, e.g. 400 100 (reference MNIST net)")
+    sd.add_argument("--delimiter", default=None)
+
+    # IsoMap_LE flows: LE.py swiss-roll demo / simRank.py .sim.txt embedding
+    le = sub.add_parser("le", help="Laplacian Eigenmaps embedding")
+    le.add_argument("--input", default=None,
+                    help=".sim.txt top-k file (simRank.py flow); omit for the swiss-roll demo")
+    le.add_argument("--output", required=True, help=".npy 2-d embedding (and .png if --plot)")
+    le.add_argument("--nodes", type=int, default=0)
+    le.add_argument("--plot", action="store_true")
+    le.add_argument("--k", type=int, default=10)
+    le.add_argument("--t", type=float, default=15.0)
     return p
 
 
@@ -123,10 +158,86 @@ def main(argv=None) -> int:
             print(f"wrote {out}")
         return 0
 
+    if args.cmd == "generate":
+        from graphtpu.bench import generators as gen
+
+        if args.kind == "massive":
+            n = gen.massive_bipartite_graph(
+                args.nodes, args.right or args.nodes, args.avg_degree,
+                args.output, seed=args.seed,
+            )
+            print(f"wrote {args.output}: {n} edges")
+            return 0
+        if args.kind == "uniform":
+            edges = gen.uniform_random_graph(args.nodes, args.avg_degree, args.seed)
+        elif args.kind == "bipartite":
+            edges = gen.bipartite_random_graph(
+                args.nodes, args.right or args.nodes, args.avg_degree, args.seed
+            )
+        elif args.kind == "directed":
+            edges = gen.directed_random_graph(args.nodes, args.avg_degree, args.seed)
+        else:  # rmat
+            m = args.edges or (1 << args.scale) * args.avg_degree // 2
+            edges = gen.rmat_graph(args.scale, m, seed=args.seed)
+        np.savetxt(args.output, edges, fmt="%d")
+        print(f"wrote {args.output}: {len(edges)} edges")
+        return 0
+
+    if args.cmd == "le":
+        from graphtpu.core.config import LEConfig
+        from graphtpu.models.lapeigen import (
+            le_embed_points,
+            le_embed_sim_dict,
+            make_swiss_roll,
+        )
+
+        cfg = LEConfig(k_neighbors=args.k, heat_t=args.t)
+        if args.input:
+            from graphtpu.io.simfile import read_sim_file
+
+            sims = read_sim_file(args.input)
+            n = args.nodes or (
+                max(max(s for s in sims), max(d for ps in sims.values() for d, _ in ps)) + 1
+            )
+            y, _ = le_embed_sim_dict(sims, n, cfg)
+        else:
+            pts = make_swiss_roll(2000)
+            y, _ = le_embed_points(pts, cfg)
+        np.save(args.output, y)
+        print(f"wrote {args.output}.npy" if not args.output.endswith(".npy")
+              else f"wrote {args.output}")
+        if args.plot:
+            from graphtpu.viz import plot_embedding_2d
+
+            png = args.output.rsplit(".npy", 1)[0] + ".png"
+            plot_embedding_2d(y, png)
+            print(f"wrote {png}")
+        return 0
+
     g = graphtpu.read_edgelist_graph(
         args.input, delimiter=getattr(args, "delimiter", None),
         weighted=getattr(args, "weighted", False),
     )
+
+    if args.cmd == "sdne":
+        import jax.numpy as jnp
+
+        from graphtpu.core.config import SDNEConfig
+        from graphtpu.core.graph import dense_adjacency
+        from graphtpu.io.embfile import write_emb
+        from graphtpu.models.sdne import train_sdne
+
+        x = np.asarray(dense_adjacency(g))
+        units = (
+            [x.shape[1], *args.hidden, x.shape[1]]
+            if args.hidden
+            else [x.shape[1], 400, 100, 300, x.shape[1]]
+        )
+        cfg = SDNEConfig(units=tuple(units))
+        _, embed = train_sdne(x, cfg, steps=args.steps, log_every=max(args.steps // 10, 1))
+        write_emb(args.output, embed(x))
+        print(f"wrote {args.output}")
+        return 0
 
     if args.cmd == "simrank":
         import jax.numpy as jnp

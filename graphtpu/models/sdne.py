@@ -85,13 +85,14 @@ def train_sdne(
     opt_state = opt.init(params)
     x_all = jnp.asarray(x_train, jnp.float32)
     n = x_all.shape[0]
-    nb = max(n // cfg.minibatch, 1)
+    mb = min(cfg.minibatch, n)
+    nb = max(n // mb, 1)
 
     @jax.jit
     def step(params, opt_state, i):
-        start = (i % nb) * cfg.minibatch
+        start = (i % nb) * mb
         xb = jax.lax.dynamic_slice(
-            x_all, (start, 0), (cfg.minibatch, x_all.shape[1])
+            x_all, (start, 0), (mb, x_all.shape[1])
         )
         (l, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, xb, cfg

@@ -41,8 +41,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),       # out: has_weights
             ctypes.c_longlong,    # capacity
         ]
+        lib.gt_generate_graph.restype = ctypes.c_longlong
+        lib.gt_generate_graph.argtypes = [
+            ctypes.c_char_p,      # path
+            ctypes.c_longlong,    # n_left
+            ctypes.c_longlong,    # n_right
+            ctypes.c_longlong,    # target edges
+            ctypes.c_int,         # mode: 0 bipartite, 1 undirected, 2 directed
+            ctypes.c_ulonglong,   # seed
+            ctypes.c_int,         # threads (0 = hw)
+        ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
@@ -82,3 +92,28 @@ def native_parse_edgelist(
         return None
     edges = np.stack([src[:n], dst[:n]], axis=1)
     return edges, (wts[:n].copy() if has_w.value else None)
+
+
+_GEN_MODES = {"bipartite": 0, "uniform": 1, "directed": 2}
+
+
+def native_generate_graph(
+    path: str,
+    mode: str,
+    n_left: int,
+    n_right: int = 0,
+    target_edges: int = 0,
+    seed: int = 0,
+    threads: int = 0,
+) -> Optional[int]:
+    """Stream `target_edges` Bloom-deduped random edges to `path` with the
+    multithreaded C++ generator (GraphGeneratorBf's role); None if the
+    library isn't built, -1-as-None on invalid arguments."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.gt_generate_graph(
+        path.encode(), n_left, n_right, target_edges,
+        _GEN_MODES[mode], seed, threads,
+    )
+    return None if n < 0 else int(n)

@@ -114,3 +114,38 @@ def test_diagnostics(small_random):
     np.testing.assert_allclose(agree, 2 / 3)
     h = edge_label_homophily(small_random, labels)
     assert 0.0 <= h <= 1.0
+
+
+def test_cli_generate(tmp_path):
+    out = str(tmp_path / "gen.txt")
+    assert cli_main(["generate", "--output", out, "--kind", "rmat",
+                     "--scale", "8", "--edges", "2000", "--seed", "1"]) == 0
+    e = np.loadtxt(out, dtype=np.int64)
+    assert e.max() < 256 and len(e) > 1500
+    out2 = str(tmp_path / "massive.txt")
+    assert cli_main(["generate", "--output", out2, "--kind", "massive",
+                     "--nodes", "1000", "--right", "1000",
+                     "--avg-degree", "4"]) == 0
+    lines = open(out2).read().strip().split("\n")
+    assert len(set(lines)) == len(lines) == 4000
+
+
+def test_cli_sdne_and_le(tmp_path, graph_file):
+    out = str(tmp_path / "sdne.emb")
+    assert cli_main(["sdne", "--input", graph_file, "--output", out,
+                     "--steps", "5", "--hidden", "16", "8", "12"]) == 0
+    _, vecs = read_emb(out)
+    assert vecs.shape == (64, 8)
+    # LE swiss-roll demo flow
+    le_out = str(tmp_path / "le.npy")
+    assert cli_main(["le", "--output", le_out]) == 0
+    y = np.load(le_out)
+    assert y.shape == (2000, 2)
+    # LE .sim.txt flow reuses the simrank CLI output
+    sr = str(tmp_path / "sr")
+    assert cli_main(["simrank", "--input", graph_file, "--output", sr,
+                     "--iterations", "2", "--topk", "5"]) == 0
+    le2 = str(tmp_path / "le2.npy")
+    assert cli_main(["le", "--input", sr + ".sim.txt", "--output", le2,
+                     "--nodes", "64"]) == 0
+    assert np.load(le2).shape[0] == 64
