@@ -69,17 +69,21 @@ def main():
 
     iters = 10
 
-    # compile + warm up (separate iteration count to keep cache split)
-    t0 = time.time()
-    s = _simrank_iterate(w, 0.6, 1, "high")
-    s.block_until_ready()
-    log(f"warmup(compile): {time.time() - t0:.1f}s")
-
+    # compile + warm up the EXACT executable being timed: ``iterations`` is
+    # a static argument, so warming up a different count would leave a full
+    # fresh compile (~1.5-2.5s) inside the timed region — the methodology
+    # bug that inflated every early per-iter number by ~150-250 ms.
     t0 = time.time()
     s = _simrank_iterate(w, 0.6, iters, "high")
     s.block_until_ready()
-    dt = time.time() - t0
-    per_iter = dt / iters
+    log(f"warmup(compile): {time.time() - t0:.1f}s")
+
+    per_iter = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        s = _simrank_iterate(w, 0.6, iters, "high")
+        s.block_until_ready()
+        per_iter = min(per_iter, (time.time() - t0) / iters)
 
     # fidelity check vs highest-precision run (top-20 ranking agreement)
     t0 = time.time()
