@@ -67,6 +67,10 @@ def double_meet_probability(g: Graph, path: np.ndarray) -> float:
     (the "real double random suffer pro", ``testPathPro :76-80``)."""
     deg = np.asarray(g.deg, np.float64)
     n = len(path)
+    # the reference asserts an even hop count (randPath's pathLen % 2 == 0);
+    # with an even node count the two halves would straddle the midpoint and
+    # the value would no longer be a meeting probability
+    assert n % 2 == 1, "path must have an even number of hops (odd node count)"
     mid = (n - 1) // 2
     p = 1.0
     for i in range(mid):
@@ -88,6 +92,7 @@ def sample_double_meet_probability(
     k1, k2 = jax.random.split(key)
     path = jnp.asarray(path, jnp.int32)
     n = int(path.shape[0])
+    assert n % 2 == 1, "path must have an even number of hops (odd node count)"
     mid = (n - 1) // 2
     heads = uniform_walks(
         g, jnp.full((samples,), path[0], jnp.int32), mid, k1

@@ -41,6 +41,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),       # out: has_weights
             ctypes.c_longlong,    # capacity
         ]
+        _LIB = lib
+    except (OSError, AttributeError):
+        _LIB = None
+        return _LIB
+    # resolve newer symbols independently: a stale .so built before
+    # generate.cpp must only lose gt_generate_graph, not the whole library
+    try:
         lib.gt_generate_graph.restype = ctypes.c_longlong
         lib.gt_generate_graph.argtypes = [
             ctypes.c_char_p,      # path
@@ -51,9 +58,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_ulonglong,   # seed
             ctypes.c_int,         # threads (0 = hw)
         ]
-        _LIB = lib
-    except (OSError, AttributeError):
-        _LIB = None
+        lib._gt_has_generate = True
+    except AttributeError:
+        lib._gt_has_generate = False
     return _LIB
 
 
@@ -110,7 +117,7 @@ def native_generate_graph(
     multithreaded C++ generator (GraphGeneratorBf's role); None if the
     library isn't built, -1-as-None on invalid arguments."""
     lib = _load()
-    if lib is None:
+    if lib is None or not getattr(lib, "_gt_has_generate", False):
         return None
     n = lib.gt_generate_graph(
         path.encode(), n_left, n_right, target_edges,

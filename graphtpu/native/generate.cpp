@@ -89,7 +89,13 @@ inline char* append_u64(char* p, uint64_t v) {
   return p;
 }
 
-void gen_worker(GenJob* job, uint64_t seed) {
+// Each worker owns the disjoint key class {key : key % n_threads == tid} and
+// skips draws outside it (the reference partitions the src id space per
+// thread for the same reason, GraphGeneratorBf.java): two threads can then
+// never race test_and_set on the same key, which would otherwise let both
+// observe not-set bits and emit a duplicate edge.  The union of uniform
+// draws filtered per class is still uniform over the key space.
+void gen_worker(GenJob* job, uint64_t seed, uint64_t tid, uint64_t nthreads) {
   uint64_t st = seed;
   std::string buf;
   buf.reserve(1 << 20);
@@ -112,6 +118,7 @@ void gen_worker(GenJob* job, uint64_t seed) {
         key = a * static_cast<uint64_t>(job->n_left) + b;
       }
     }
+    if (nthreads > 1 && key % nthreads != tid) continue;  // not my key class
     if (job->bloom->test_and_set(key)) continue;  // (probably) duplicate
     // claim a slot; roll back if another thread crossed the target first
     int64_t slot = job->accepted.fetch_add(1, std::memory_order_relaxed);
@@ -175,8 +182,9 @@ int64_t gt_generate_graph(const char* path, int64_t n_left, int64_t n_right,
   std::vector<std::thread> threads;
   for (int i = 1; i < nt; ++i)
     threads.emplace_back(gen_worker, &job,
-                         seed * 0x9E3779B97F4A7C15ULL + 0x632BE59BD9B4E019ULL * i);
-  gen_worker(&job, seed * 0x9E3779B97F4A7C15ULL);
+                         seed * 0x9E3779B97F4A7C15ULL + 0x632BE59BD9B4E019ULL * i,
+                         static_cast<uint64_t>(i), static_cast<uint64_t>(nt));
+  gen_worker(&job, seed * 0x9E3779B97F4A7C15ULL, 0, static_cast<uint64_t>(nt));
   for (auto& t : threads) t.join();
 
   int64_t written = job.accepted.load();

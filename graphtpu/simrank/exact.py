@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphtpu.core.config import SimRankConfig, WeightedSimRankConfig
-from graphtpu.core.graph import Graph, dense_adjacency, row_normalized
+from graphtpu.core.graph import DiGraph, Graph, dense_adjacency, row_normalized
 from graphtpu.kernels.topk import topk_rows
 
 
@@ -67,7 +67,16 @@ def exact_simrank(
 ) -> jax.Array:
     """Dense [V, V] SimRank scores (diag zeroed).  For V up to ~30k on one
     chip (S is V^2 floats x2 buffers); larger graphs use the sharded path
-    in graphtpu.dist or the MC estimators."""
+    in graphtpu.dist or the MC estimators.
+
+    A :class:`DiGraph` gets the standard *directed* SimRank: sim'(i,j) =
+    C/(|I(i)||I(j)|) * sum over in-neighbour pairs — the semantics the
+    reference's DGraph in-neighbour machinery implies
+    (``structures/DGraph.java:91-108``: separate ``ins`` lists with
+    ``randInNeighbor``).  That is the same operator with P built from the
+    in-CSR."""
+    if isinstance(g, DiGraph):
+        g = g.in_  # in-neighbour rows: P[i, u] = w(u->i) / sum_in(i)
     a = dense_adjacency(g, dtype=jnp.float32)
     if not weighted and g.weight is not None:
         a = (a > 0).astype(jnp.float32)
@@ -121,6 +130,34 @@ def weighted_simrank_reference_oracle(
                 nj, wj = col[rp[j] : rp[j + 1]], w[rp[j] : rp[j + 1]]
                 val = c * (wi[:, None] * wj[None, :] * sim[np.ix_(ni, nj)]).sum()
                 new[i, j] = new[j, i] = val / (wsum[i] * wsum[j])
+        sim = new
+    np.fill_diagonal(sim, 0.0)
+    return sim
+
+
+def directed_simrank_reference_oracle(
+    g: DiGraph, c: float, iterations: int
+) -> np.ndarray:
+    """Directed SimRank oracle (float64 quadruple loop over in-neighbours):
+    sim'(i,j) = C/(|I(i)||I(j)|) * sum_{u in I(i), v in I(j)} sim(u,v),
+    the semantics implied by DGraph's ``ins`` lists
+    (``structures/DGraph.java:91-108``)."""
+    gin = g.in_
+    vcount = gin.n_nodes
+    rp, col = np.asarray(gin.row_ptr), np.asarray(gin.col)
+    deg = np.asarray(gin.deg)
+    sim = np.eye(vcount)
+    for _ in range(iterations):
+        new = np.eye(vcount)
+        for i in range(vcount):
+            for j in range(i + 1, vcount):
+                if deg[i] == 0 or deg[j] == 0:
+                    new[i, j] = new[j, i] = 0.0
+                    continue
+                ni = col[rp[i] : rp[i + 1]]
+                nj = col[rp[j] : rp[j + 1]]
+                val = c * sim[np.ix_(ni, nj)].sum() / (deg[i] * deg[j])
+                new[i, j] = new[j, i] = val
         sim = new
     np.fill_diagonal(sim, 0.0)
     return sim

@@ -52,6 +52,32 @@ def test_exact_matches_oracle_with_isolated_node():
     assert (got[4] == 0).all() and (got[:, 4] == 0).all()
 
 
+def test_directed_simrank_matches_oracle():
+    from graphtpu.simrank.exact import directed_simrank_reference_oracle
+
+    rng = np.random.default_rng(3)
+    edges = rng.integers(0, 24, size=(90, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    dg = graphtpu.build_graph(edges, n_nodes=24, directed=True)
+    got = np.asarray(exact_simrank(dg, SimRankConfig(iterations=4)))
+    want = directed_simrank_reference_oracle(dg, c=0.6, iterations=4)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_directed_simrank_differs_from_out_neighbour_form():
+    # a graph where in- and out-neighbourhoods differ: star i->0 for all i
+    edges = np.array([[i, 0] for i in range(1, 6)])
+    dg = graphtpu.build_graph(edges, n_nodes=6, directed=True)
+    s = np.asarray(exact_simrank(dg, SimRankConfig(iterations=3)))
+    # all sources share the single in-neighbourless... rather: nodes 1..5
+    # have no in-neighbours -> similarity 0 rows; node 0's row is 0 too
+    assert s[1].max() == 0.0
+    # reversed edges: nodes 1..5 all have in-neighbour {0} -> sim = C
+    dg2 = graphtpu.build_graph(edges[:, ::-1], n_nodes=6, directed=True)
+    s2 = np.asarray(exact_simrank(dg2, SimRankConfig(iterations=3)))
+    np.testing.assert_allclose(s2[1, 2], 0.6, atol=1e-6)
+
+
 def test_weighted_simrank_reduces_to_unweighted():
     edges = np.array([[0, 1], [1, 2], [2, 3], [3, 0]])
     g_u = graphtpu.build_graph(edges, n_nodes=4)
