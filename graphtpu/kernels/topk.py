@@ -113,6 +113,97 @@ def segment_topk(
     return vals, idx
 
 
+def segment_sum_1d(
+    ids: jax.Array,
+    vals: jax.Array,
+    n_segments: int,
+) -> jax.Array:
+    """[n_segments] sums of ``vals`` grouped by ``ids`` — zero scatters.
+
+    ids < 0 are skipped.  Sort by id, prefix-sum, then *gather* each
+    segment's boundary totals with two searchsorted lookups; the inverse
+    of the scatter-add formulation, entirely gather-based (TPU scatters
+    with many update rows serialise; gathers don't).
+    """
+    n = ids.shape[0]
+    safe = jnp.where(ids >= 0, ids, n_segments).astype(jnp.int32)
+    si, sv = jax.lax.sort((safe, vals.astype(jnp.float32)), num_keys=1)
+    csum = jnp.cumsum(sv)
+    seg = jnp.arange(n_segments, dtype=jnp.int32)
+    right = jnp.searchsorted(si, seg, side="right")
+    left = jnp.searchsorted(si, seg, side="left")
+    hi = jnp.where(right > 0, csum[jnp.maximum(right - 1, 0)], 0.0)
+    lo = jnp.where(left > 0, csum[jnp.maximum(left - 1, 0)], 0.0)
+    return jnp.where(right > left, hi - lo, 0.0).astype(vals.dtype)
+
+
+def pair_topk_by_source(
+    srcs: jax.Array,
+    tgts: jax.Array,
+    vals: jax.Array,
+    source_ids: jax.Array,
+    k: int,
+    counts: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-source top-k of per-(src, tgt) sums from a flat item stream.
+
+    The scatter-free production accumulator for path-reuse flows, where a
+    walk offset makes *any* node a source (``SingleRandomWalkOptimal2
+    .java:49-64``) so items cannot be pre-grouped into per-source panels.
+    Replaces both the element-wise [V, V] scatter accumulation and the
+    sequential FixedCacheMap scan for at-scale runs: the bounded-memory
+    semantics the reference needed a capacity-C min-heap for
+    (``lxctools/FixedCacheMap.java:32-50``) falls out of sort + top-k.
+
+    ``srcs``/``tgts``/``vals``: [N] items (src or tgt < 0 = skip).
+    ``source_ids``: [M] ascending source ids to emit rows for.
+    ``counts``: optional [max_source+1] per-source normaliser applied to
+    the summed values (the Giraph flush normalisation).
+    Returns (vals [M, k] descending, idx [M, k], -1 padded).
+
+    Pipeline (no scatter anywhere):
+      1. sort items by (src, tgt)           — one multi-key bitonic sort
+      2. prefix-sum + boundary diff         — per-pair run totals
+      3. sort pair totals by (src, -total)  — per-source descending order
+      4. searchsorted + gather              — each source's first k entries
+    """
+    n = srcs.shape[0]
+    big = jnp.int32(2**31 - 1)
+    valid = (srcs >= 0) & (tgts >= 0)
+    s_c = jnp.where(valid, srcs, big).astype(jnp.int32)
+    t_c = jnp.where(valid, tgts, big).astype(jnp.int32)
+    s1, t1, v1 = jax.lax.sort(
+        (s_c, t_c, vals.astype(jnp.float32)), num_keys=2
+    )
+    csum = jnp.cumsum(v1)
+    is_end = jnp.concatenate(
+        [(s1[:-1] != s1[1:]) | (t1[:-1] != t1[1:]), jnp.ones((1,), bool)]
+    )
+    pos = jnp.arange(n)
+    prev_end = jax.lax.cummax(
+        jnp.where(
+            jnp.concatenate([jnp.zeros((1,), bool), is_end[:-1]]), pos - 1, -1
+        )
+    )
+    base = jnp.where(prev_end >= 0, csum[jnp.maximum(prev_end, 0)], 0.0)
+    total = csum - base
+    if counts is not None:
+        total = total / jnp.maximum(counts[jnp.minimum(s1, counts.shape[0] - 1)], 1.0)
+    live = is_end & (s1 != big)
+    neg = jnp.where(live, -total, jnp.inf)
+    s2, neg2, t2 = jax.lax.sort(
+        (jnp.where(live, s1, big), neg, t1), num_keys=2
+    )
+    left = jnp.searchsorted(s2, source_ids.astype(jnp.int32), side="left")
+    take = jnp.minimum(left[:, None] + jnp.arange(k)[None, :], n - 1)
+    row_src = s2[take]
+    row_val = -neg2[take]
+    ok = (row_src == source_ids[:, None]) & jnp.isfinite(row_val)
+    out_vals = jnp.where(ok, row_val, 0.0)
+    out_idx = jnp.where(ok, t2[take], -1)
+    return out_vals, out_idx
+
+
 def segment_rows_sum(
     idx: jax.Array,
     rows: jax.Array,

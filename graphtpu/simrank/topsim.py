@@ -37,7 +37,7 @@ import numpy as np
 from graphtpu.core.config import TopSimConfig
 from graphtpu.core.graph import Graph
 from graphtpu.kernels.sampling import uniform_neighbor
-from graphtpu.kernels.topk import topk_rows
+from graphtpu.kernels.topk import segment_topk, topk_rows
 from graphtpu.simrank.uniwalk import _first_meet_mask
 
 
@@ -118,14 +118,13 @@ def topsim_simrank(
     cap = cfg.frontier_capacity or (2 * math.ceil(cfg.sample) + 8)
     length = 2 * cfg.step + 1
 
-    @jax.jit
-    def run_tile(src_tile: jax.Array, k: jax.Array):
+    def tile_items(src_tile: jax.Array, k: jax.Array):
+        """[T, cap*step] (targets, vals) increment items per source."""
         paths = jnp.full((tile, cap, length), -1, jnp.int32)
         paths = paths.at[:, 0, 0].set(src_tile)
         mass = jnp.zeros((tile, cap), jnp.float32).at[:, 0].set(cfg.sample)
-        sim = jnp.zeros((tile, v), jnp.float32)
-        t_idx2 = jnp.broadcast_to(jnp.arange(tile)[:, None], (tile, cap))
         deg = g.deg
+        tgt_list, val_list = [], []
         for depth in range(2 * cfg.step):
             paths, mass, _ = _expand_frontier(
                 g, paths, mass, depth, jax.random.fold_in(k, depth)
@@ -151,13 +150,34 @@ def topsim_simrank(
                 )
                 if cfg.normalize:
                     val = val / cfg.sample
-                sim = sim.at[t_idx2, jnp.maximum(target, 0)].add(
-                    jnp.where(ok, val, 0.0)
-                )
+                tgt_list.append(jnp.where(ok, target, -1))
+                val_list.append(jnp.where(ok, val, 0.0))
+        return (
+            jnp.concatenate(tgt_list, axis=1),
+            jnp.concatenate(val_list, axis=1),
+        )
+
+    @jax.jit
+    def run_tile_topk(src_tile: jax.Array, k: jax.Array):
+        # production path: sort-based segment top-k, zero scatters (the
+        # dense [T, V] scatter-add tile sat exactly on the TPU cliff where
+        # >10k update rows serialise)
+        targets, vals = tile_items(src_tile, k)
+        return segment_topk(targets, vals, cfg.topk, v)
+
+    @jax.jit
+    def run_tile_dense(src_tile: jax.Array, k: jax.Array):
+        # small-V debug path: materialise the [T, V] similarity tile
+        targets, vals = tile_items(src_tile, k)
+        sim = jnp.zeros((tile, v), jnp.float32)
+        t_idx2 = jnp.broadcast_to(jnp.arange(tile)[:, None], targets.shape)
+        sim = sim.at[t_idx2, jnp.maximum(targets, 0)].add(
+            jnp.where(targets >= 0, vals, 0.0)
+        )
         rows = jnp.arange(tile)
         sim = sim.at[rows, src_tile].set(0.0)
-        vals, idx = topk_rows(sim, cfg.topk)
-        return sim, vals, idx
+        vals_k, idx_k = topk_rows(sim, cfg.topk)
+        return sim, vals_k, idx_k
 
     out_vals = np.zeros((n, cfg.topk), np.float32)
     out_idx = np.zeros((n, cfg.topk), np.int32)
@@ -169,14 +189,18 @@ def topsim_simrank(
             chunk = np.concatenate(
                 [chunk, np.zeros(tile - len(chunk), np.int32)]
             )
-        sim, vals, idx = run_tile(
-            jnp.asarray(chunk), jax.random.fold_in(key, lo)
-        )
         m = hi - lo
+        if dense:
+            sim, vals, idx = run_tile_dense(
+                jnp.asarray(chunk), jax.random.fold_in(key, lo)
+            )
+            out_dense[lo:hi] = np.asarray(sim)[:m]
+        else:
+            vals, idx = run_tile_topk(
+                jnp.asarray(chunk), jax.random.fold_in(key, lo)
+            )
         out_vals[lo:hi] = np.asarray(vals)[:m]
         out_idx[lo:hi] = np.asarray(idx)[:m]
-        if dense:
-            out_dense[lo:hi] = np.asarray(sim)[:m]
     if dense:
         return out_dense
     return out_vals, out_idx

@@ -126,3 +126,53 @@ def test_segment_topk_padding_and_empty():
     v_out, i_out = segment_topk(targets, vals, 4, 10)
     np.testing.assert_allclose(np.asarray(v_out)[0], [0.5, 0, 0, 0])
     assert list(np.asarray(i_out)[0]) == [2, -1, -1, -1]
+
+
+def test_segment_sum_1d_matches_bincount():
+    from graphtpu.kernels.topk import segment_sum_1d
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(-1, 12, size=500).astype(np.int32)
+    vals = rng.random(500).astype(np.float32)
+    got = np.asarray(segment_sum_1d(jnp.asarray(ids), jnp.asarray(vals), 12))
+    want = np.bincount(
+        ids[ids >= 0], weights=vals[ids >= 0], minlength=12
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pair_topk_by_source_matches_dense():
+    from graphtpu.kernels.topk import pair_topk_by_source
+
+    rng = np.random.default_rng(1)
+    n, v, k = 4000, 17, 5
+    srcs = rng.integers(-1, v, size=n).astype(np.int32)
+    tgts = rng.integers(-1, v, size=n).astype(np.int32)
+    vals = rng.random(n).astype(np.float32)
+    dense = np.zeros((v, v), np.float32)
+    ok = (srcs >= 0) & (tgts >= 0)
+    np.add.at(dense, (srcs[ok], tgts[ok]), vals[ok])
+    gv, gi = pair_topk_by_source(
+        jnp.asarray(srcs), jnp.asarray(tgts), jnp.asarray(vals),
+        jnp.arange(v, dtype=jnp.int32), k,
+    )
+    gv, gi = np.asarray(gv), np.asarray(gi)
+    for r in range(v):
+        order = np.argsort(-dense[r], kind="stable")[:k]
+        np.testing.assert_allclose(np.sort(gv[r]), np.sort(dense[r][order]), rtol=1e-4)
+        # indices must agree as sets when values are distinct enough
+        assert set(gi[r][gv[r] > 0]) <= set(np.where(dense[r] > 0)[0])
+
+
+def test_pair_topk_by_source_counts_and_subset():
+    from graphtpu.kernels.topk import pair_topk_by_source
+
+    srcs = jnp.asarray([2, 2, 5, 5, 5, -1], jnp.int32)
+    tgts = jnp.asarray([1, 1, 0, 3, 0, 4], jnp.int32)
+    vals = jnp.asarray([1.0, 2.0, 4.0, 1.0, 2.0, 9.0], jnp.float32)
+    counts = jnp.asarray([1, 1, 3, 1, 1, 2], jnp.float32)
+    gv, gi = pair_topk_by_source(
+        srcs, tgts, vals, jnp.asarray([2, 5], jnp.int32), 2, counts=counts
+    )
+    np.testing.assert_allclose(np.asarray(gv), [[1.0, 0.0], [3.0, 0.5]])
+    assert np.asarray(gi).tolist() == [[1, -1], [0, 3]]
