@@ -17,6 +17,7 @@ checkpoint behaviour.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Optional, Tuple
 
@@ -27,9 +28,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from graphtpu.core.config import UniWalkConfig
 from graphtpu.core.graph import Graph
-from graphtpu.dist.frontier import distributed_uniform_walks
-from graphtpu.kernels.topk import topk_rows
-from graphtpu.simrank.uniwalk import _first_meet_mask, _tile_increments
+from graphtpu.dist.frontier import distributed_uniform_walks, exchange_by_owner
+from graphtpu.kernels.topk import (
+    pair_topk_by_source,
+    segment_sum_1d,
+    topk_rows,
+)
+from graphtpu.simrank.uniwalk import (
+    _first_meet_mask,
+    _reuse_items,
+    _tile_increments,
+)
 
 
 def distributed_uniwalk_simrank(
@@ -91,6 +100,8 @@ def distributed_uniwalk_simrank_reuse(
     mesh: Mesh,
     cfg: UniWalkConfig = UniWalkConfig(),
     key: Optional[jax.Array] = None,
+    walks: Optional[jax.Array] = None,
+    route_slack: float = 4.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Distributed path-reuse UniWalk — the
     ``giraph/BatchSingleWalkVertexReuse`` analog (TIMES offsets per
@@ -100,12 +111,20 @@ def distributed_uniwalk_simrank_reuse(
     ``2*step + reuse_times - 1``; offset ``o`` of each walk is a fresh
     sample whose *source* is ``path[o]`` — an arbitrary node, so (as in
     Giraph, where sim-increment messages are routed to the source's
-    owner) increments must cross shards.  The TPU mapping accumulates
-    per-device partial rows and routes them home with one
-    ``psum_scatter`` over the mesh: each device ends up owning its
-    contiguous source-row block, applies the flush normalisation
-    (per-source received-sample counts, ``flushTest`` semantics), and
-    reduces to top-k locally.
+    owner) increments must cross shards.  The TPU mapping builds each
+    device's flat (src, tgt, val) item stream, routes items home with ONE
+    ``all_to_all`` (the Giraph sim-message routing), and reduces each
+    shard's received items straight to top-k with the sort-based
+    :func:`pair_topk_by_source` — no [V, V] buffer anywhere, so every
+    shard holds O(items + V/n_dev · topk) state and the path scales to
+    the reference's 1M/10M-vertex regime
+    (``BatchSingleWalkVertex_Byte.java:38-41``).
+
+    ``route_slack`` sizes the per-owner exchange buckets at
+    ``slack × fair_share``; overflow drops items (Giraph heap sizing) —
+    the returned ``dropped`` count is asserted zero by tests.
+    ``walks`` may inject precomputed reuse walks ([B, 2*step+times],
+    B divisible by the mesh size) for parity testing.
 
     Returns (vals, idx), each [V, topk].
     """
@@ -119,71 +138,71 @@ def distributed_uniwalk_simrank_reuse(
     wpn = max(cfg.sample // times, 1)
     length = 2 * cfg.step + (times - 1)
 
-    starts = np.repeat(np.arange(v, dtype=np.int32), wpn)
-    pad = (-len(starts)) % n_dev
-    if pad:
-        # dead walkers: never routed, their rows stay -1 everywhere
-        starts = np.concatenate([starts, np.full(pad, -1, np.int32)])
-    walks = distributed_uniform_walks(
-        g,
-        n_walkers=len(starts),
-        num_steps=length,
-        key=key,
-        mesh=mesh,
-        starts=jnp.asarray(starts),
-    )  # [B, length+1], row-sharded over the walker axis
+    if walks is None:
+        starts = np.repeat(np.arange(v, dtype=np.int32), wpn)
+        pad = (-len(starts)) % n_dev
+        if pad:
+            # dead walkers: never routed, their rows stay -1 everywhere
+            starts = np.concatenate([starts, np.full(pad, -1, np.int32)])
+        walks = distributed_uniform_walks(
+            g,
+            n_walkers=len(starts),
+            num_steps=length,
+            key=key,
+            mesh=mesh,
+            starts=jnp.asarray(starts),
+        )  # [B, length+1], row-sharded over the walker axis
+    n_walkers = walks.shape[0]
+    assert n_walkers % n_dev == 0
 
     from jax import shard_map
 
     rows_per = v_p // n_dev
-    deg = g.deg
+    items_local = (n_walkers // n_dev) * times * cfg.step
+    capacity = max(64, int(math.ceil(items_local / n_dev * route_slack)))
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(axis, None),),
-        out_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None), P()),
     )
     def flush(walks_l):
-        sim = jnp.zeros((v_p, v_p), jnp.float32)
-        counts = jnp.zeros((v_p,), jnp.float32)
-        for o in range(times):
-            seg = walks_l[:, o : o + 2 * cfg.step + 1]
-            src = seg[:, 0]
-            live = src >= 0
-            counts = counts.at[jnp.maximum(src, 0)].add(
-                jnp.where(live, 1.0, 0.0)
-            )
-            for i in range(1, cfg.step + 1):
-                inter = seg[:, i]
-                target = seg[:, 2 * i]
-                ok = (
-                    live
-                    & (target >= 0)
-                    & (target != src)
-                    & _first_meet_mask(seg, i)
-                )
-                val = (
-                    (cfg.c ** i)
-                    * deg[jnp.maximum(inter, 0)].astype(jnp.float32)
-                    / jnp.maximum(
-                        deg[jnp.maximum(target, 0)], 1
-                    ).astype(jnp.float32)
-                )
-                sim = sim.at[
-                    jnp.maximum(src, 0), jnp.maximum(target, 0)
-                ].add(jnp.where(ok, val, 0.0))
-        # route partial rows to their owner shard (the Giraph sim-message
-        # routing, as ONE reduce_scatter instead of per-message RPC)
-        sim = jax.lax.psum_scatter(
-            sim, axis, scatter_dimension=0, tiled=True
-        )  # [rows_per, v_p]
+        srcs, tgts, vals, cnt_src = _reuse_items(
+            g, walks_l, cfg.step, cfg.c, times
+        )
+        counts = segment_sum_1d(
+            cnt_src, jnp.ones_like(cnt_src, jnp.float32), v_p
+        )
         counts = jax.lax.psum(counts, axis)
+        owner = jnp.where(srcs >= 0, srcs // rows_per, -1)
+        # overflow diagnostic: items beyond an owner bucket's capacity drop
+        per_owner = segment_sum_1d(
+            owner, jnp.ones_like(owner, jnp.float32), n_dev
+        )
+        dropped = jax.lax.psum(
+            jnp.maximum(per_owner - capacity, 0.0).sum(), axis
+        )
+        (r_src, r_tgt, r_val), _ = exchange_by_owner(
+            (srcs, tgts, vals), owner, axis, n_dev, capacity
+        )
         me = jax.lax.axis_index(axis)
-        local_rows = me * rows_per + jnp.arange(rows_per)
-        sim = sim / jnp.maximum(counts[local_rows], 1.0)[:, None]
-        sim = sim.at[jnp.arange(rows_per), local_rows].set(0.0)
-        return topk_rows(sim, cfg.topk)
+        local_ids = me * rows_per + jnp.arange(rows_per, dtype=jnp.int32)
+        gv, gi = pair_topk_by_source(
+            r_src.astype(jnp.int32),
+            r_tgt.astype(jnp.int32),
+            r_val,
+            local_ids,
+            cfg.topk,
+            counts=counts,
+        )
+        return gv, gi, dropped[None]
 
-    vals, idx = jax.jit(flush)(walks)
+    vals, idx, dropped = jax.jit(flush)(walks)
+    n_dropped = float(np.asarray(dropped)[0])
+    if n_dropped > 0:
+        raise RuntimeError(
+            f"reuse flush dropped {n_dropped:.0f} items; raise route_slack "
+            f"(capacity={capacity})"
+        )
     return np.asarray(vals)[:v], np.asarray(idx)[:v]

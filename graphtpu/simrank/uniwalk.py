@@ -34,7 +34,7 @@ import numpy as np
 
 from graphtpu.core.config import UniWalkConfig
 from graphtpu.core.graph import Graph
-from graphtpu.kernels.topk import topk_rows
+from graphtpu.kernels.topk import pair_topk_by_source, segment_sum_1d, topk_rows
 from graphtpu.walks.walker import uniform_walks
 
 
@@ -167,10 +167,54 @@ def uniwalk_simrank(
     return out_vals, out_idx
 
 
+def _reuse_items(g: Graph, walks: jax.Array, step: int, c: float, times: int):
+    """Flat (srcs, tgts, vals, sample_srcs) item stream from reuse walks.
+
+    ``walks``: [B, 2*step + times]; offset ``o`` of each physical walk is a
+    fresh sample whose source is ``path[o]``
+    (``SingleRandomWalkOptimal2.java:49-64``).  ``srcs``/``tgts`` carry -1
+    for filtered items; ``sample_srcs`` lists one entry per (walk, offset)
+    live sample (-1 when dead) for the flush normalisation counts.
+    """
+    deg = g.deg
+    src_list, tgt_list, val_list, cnt_list = [], [], [], []
+    for o in range(times):
+        seg = walks[:, o : o + 2 * step + 1]
+        src = seg[:, 0]
+        live = src >= 0
+        cnt_list.append(jnp.where(live, src, -1))
+        for i in range(1, step + 1):
+            inter = seg[:, i]
+            target = seg[:, 2 * i]
+            ok = (
+                live
+                & (target >= 0)
+                & (target != src)
+                & _first_meet_mask(seg, i)
+            )
+            val = (
+                (c ** i)
+                * deg[jnp.maximum(inter, 0)].astype(jnp.float32)
+                / jnp.maximum(deg[jnp.maximum(target, 0)], 1).astype(
+                    jnp.float32
+                )
+            )
+            src_list.append(jnp.where(ok, src, -1))
+            tgt_list.append(jnp.where(ok, target, -1))
+            val_list.append(jnp.where(ok, val, 0.0))
+    return (
+        jnp.concatenate(src_list),
+        jnp.concatenate(tgt_list),
+        jnp.concatenate(val_list),
+        jnp.concatenate(cnt_list),
+    )
+
+
 def uniwalk_simrank_reuse(
     g: Graph,
     cfg: UniWalkConfig = UniWalkConfig(),
     key: Optional[jax.Array] = None,
+    walks: Optional[jax.Array] = None,
 ) -> np.ndarray:
     """Path-reuse variant, dense [V, V] (small graphs).
 
@@ -178,7 +222,10 @@ def uniwalk_simrank_reuse(
     ``sample // reuse_times`` walkers; every offset position o becomes a
     fresh sample for source path[o], and each source's estimate is
     normalised by the number of samples it actually received (the Giraph
-    flush normalisation)."""
+    flush normalisation).  ``walks`` may inject precomputed reuse walks
+    ([B, 2*step + times]); at-scale callers should prefer
+    :func:`uniwalk_simrank_reuse_topk` (no [V, V] state, no scatters).
+    """
     if key is None:
         key = jax.random.key(0)
     v = g.n_nodes
@@ -188,38 +235,60 @@ def uniwalk_simrank_reuse(
     starts = jnp.repeat(jnp.arange(v, dtype=jnp.int32), walkers_per_node)
 
     @jax.jit
-    def run(k):
-        walks = uniform_walks(g, starts, length, k)  # [B, length+1]
+    def run(walks):
+        srcs, tgts, vals, cnt_src = _reuse_items(
+            g, walks, cfg.step, cfg.c, times
+        )
+        counts = segment_sum_1d(cnt_src, jnp.ones_like(cnt_src, jnp.float32), v)
         sim = jnp.zeros((v, v), jnp.float32)
-        counts = jnp.zeros((v,), jnp.float32)
-        deg = g.deg
-        for o in range(times):
-            seg = walks[:, o : o + 2 * cfg.step + 1]
-            src = seg[:, 0]
-            live = src >= 0
-            counts = counts.at[jnp.maximum(src, 0)].add(
-                jnp.where(live, 1.0, 0.0)
-            )
-            for i in range(1, cfg.step + 1):
-                inter = seg[:, i]
-                target = seg[:, 2 * i]
-                ok = (
-                    live
-                    & (target >= 0)
-                    & (target != src)
-                    & _first_meet_mask(seg, i)
-                )
-                val = (
-                    (cfg.c ** i)
-                    * deg[jnp.maximum(inter, 0)].astype(jnp.float32)
-                    / jnp.maximum(
-                        deg[jnp.maximum(target, 0)], 1
-                    ).astype(jnp.float32)
-                )
-                sim = sim.at[jnp.maximum(src, 0), jnp.maximum(target, 0)].add(
-                    jnp.where(ok, val, 0.0)
-                )
+        sim = sim.at[jnp.maximum(srcs, 0), jnp.maximum(tgts, 0)].add(
+            jnp.where(srcs >= 0, vals, 0.0)
+        )
         sim = sim / jnp.maximum(counts, 1.0)[:, None]
         return sim * (1 - jnp.eye(v, dtype=sim.dtype))
 
-    return np.asarray(run(key))
+    if walks is None:
+        walks = uniform_walks(g, starts, length, key)  # [B, length+1]
+    return np.asarray(run(walks))
+
+
+def uniwalk_simrank_reuse_topk(
+    g: Graph,
+    cfg: UniWalkConfig = UniWalkConfig(),
+    key: Optional[jax.Array] = None,
+    walks: Optional[jax.Array] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Scatter-free path-reuse UniWalk: (vals [V, topk], idx [V, topk]).
+
+    Same estimator as :func:`uniwalk_simrank_reuse` but the accumulation is
+    one sort-based :func:`pair_topk_by_source` over the flat item stream —
+    no [V, V] buffer and no element-wise scatters, so it runs at any V
+    (the production path; the dense form is a small-graph oracle).
+    """
+    if key is None:
+        key = jax.random.key(0)
+    v = g.n_nodes
+    times = max(cfg.reuse_times, 1)
+    walkers_per_node = max(cfg.sample // times, 1)
+    length = 2 * cfg.step + (times - 1)
+    starts = jnp.repeat(jnp.arange(v, dtype=jnp.int32), walkers_per_node)
+
+    @jax.jit
+    def run(walks):
+        srcs, tgts, vals, cnt_src = _reuse_items(
+            g, walks, cfg.step, cfg.c, times
+        )
+        counts = segment_sum_1d(cnt_src, jnp.ones_like(cnt_src, jnp.float32), v)
+        return pair_topk_by_source(
+            srcs,
+            tgts,
+            vals,
+            jnp.arange(v, dtype=jnp.int32),
+            cfg.topk,
+            counts=counts,
+        )
+
+    if walks is None:
+        walks = uniform_walks(g, starts, length, key)
+    vals, idx = run(walks)
+    return np.asarray(vals), np.asarray(idx)

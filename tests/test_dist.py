@@ -161,6 +161,38 @@ def test_distributed_uniwalk_reuse_matches_exact_ranking(small_random):
     assert total > 0 and hits / total > 0.5, hits / max(total, 1)
 
 
+def test_distributed_uniwalk_reuse_equals_dense_oracle(small_random):
+    """Feeding the SAME walks, the item-routed distributed flush must
+    reproduce the single-device dense reuse oracle value-for-value (the
+    routing and sort-based top-k change nothing but summation order)."""
+    from graphtpu.core.config import UniWalkConfig
+    from graphtpu.dist.uniwalk_dist import distributed_uniwalk_simrank_reuse
+    from graphtpu.simrank.uniwalk import uniwalk_simrank_reuse
+    from graphtpu.walks.walker import uniform_walks
+
+    g = small_random
+    mesh = make_1d_mesh(8)
+    cfg = UniWalkConfig(sample=400, step=2, reuse_times=4, topk=5)
+    wpn = cfg.sample // cfg.reuse_times
+    starts = jnp.repeat(jnp.arange(g.n_nodes, dtype=jnp.int32), wpn)
+    walks = uniform_walks(
+        g, starts, 2 * cfg.step + cfg.reuse_times - 1, jax.random.key(13)
+    )
+    dense = uniwalk_simrank_reuse(g, cfg, walks=walks)
+    vals, idx = distributed_uniwalk_simrank_reuse(g, mesh, cfg, walks=walks)
+    for r in range(g.n_nodes):
+        np.testing.assert_allclose(
+            np.sort(vals[r])[::-1],
+            np.sort(dense[r])[-cfg.topk:][::-1],
+            atol=1e-5,
+        )
+        for j in range(cfg.topk):
+            if idx[r, j] >= 0:
+                np.testing.assert_allclose(
+                    vals[r, j], dense[r, idx[r, j]], atol=1e-5
+                )
+
+
 def test_distributed_topsim_matches_local(small_random):
     from graphtpu.core.config import TopSimConfig
     from graphtpu.dist.topsim_dist import distributed_topsim_simrank

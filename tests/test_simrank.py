@@ -146,6 +146,36 @@ def test_uniwalk_reuse_runs_and_ranks(small_random):
     assert p > 0.4, p
 
 
+def test_uniwalk_reuse_topk_equals_dense(small_random):
+    """The scatter-free top-k reuse path must reproduce the dense oracle
+    value-for-value on the SAME walks."""
+    from graphtpu.simrank.uniwalk import uniwalk_simrank_reuse_topk
+    from graphtpu.walks.walker import uniform_walks
+
+    g = small_random
+    cfg = UniWalkConfig(sample=400, step=2, reuse_times=4, topk=5)
+    times = cfg.reuse_times
+    wpn = cfg.sample // times
+    starts = jnp.repeat(jnp.arange(g.n_nodes, dtype=jnp.int32), wpn)
+    walks = uniform_walks(
+        g, starts, 2 * cfg.step + times - 1, jax.random.key(11)
+    )
+    dense = uniwalk_simrank_reuse(g, cfg, walks=walks)
+    vals, idx = uniwalk_simrank_reuse_topk(g, cfg, walks=walks)
+    for r in range(g.n_nodes):
+        np.testing.assert_allclose(
+            np.sort(vals[r])[::-1],
+            np.sort(dense[r])[-cfg.topk:][::-1],
+            atol=1e-5,
+        )
+        # every reported (idx, val) pair must match the dense cell
+        for j in range(cfg.topk):
+            if idx[r, j] >= 0:
+                np.testing.assert_allclose(
+                    vals[r, j], dense[r, idx[r, j]], atol=1e-5
+                )
+
+
 # ---------------------------------------------------------------- doublewalk
 
 
