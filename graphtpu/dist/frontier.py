@@ -80,7 +80,7 @@ def exchange_by_owner(
 
 
 def distributed_uniform_walks(
-    g: Graph,
+    g,
     n_walkers: int,
     num_steps: int,
     key: jax.Array,
@@ -93,12 +93,24 @@ def distributed_uniform_walks(
     range per host, SURVEY.md §7.8); each walker lives on a home shard that
     assembles its path.  One hop = route to owner -> sample -> route home,
     exactly the Giraph message cycle, as two all_to_all collectives.
+
+    ``g`` may be a replicated :class:`Graph` or a
+    :class:`~graphtpu.dist.sharded_graph.ShardedGraph`; with a sharded
+    graph each device samples against ONLY its local CSR block after the
+    owner exchange — the full adjacency never exists on any one device
+    (the Giraph property, ``giraph/SingleWalkVertex.java:66-89``).  With
+    the same key both forms produce identical walks: routing, bucket
+    order, and per-owner RNG streams are shared, only where the CSR rows
+    are read from differs.
     """
+    from graphtpu.dist.sharded_graph import ShardedGraph, local_graph
+
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
     assert n_walkers % n_dev == 0
     per_dev = n_walkers // n_dev
-    nodes_per_dev = -(-g.n_nodes // n_dev)
+    sharded = isinstance(g, ShardedGraph)
+    nodes_per_dev = g.nodes_per if sharded else -(-g.n_nodes // n_dev)
     if starts is None:
         starts = jax.random.randint(
             key, (n_walkers,), 0, g.n_nodes, dtype=jnp.int32
@@ -107,13 +119,7 @@ def distributed_uniform_walks(
 
     from jax import shard_map
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
-        out_specs=P(axis),
-    )
-    def run(starts_l, wid_l, key_r):
+    def loop(starts_l, wid_l, key_r, sample_at_owner):
         me = jax.lax.axis_index(axis)
         kdev = jax.random.fold_in(key_r[0], me)
         walks = jnp.full((per_dev, num_steps + 1), -1, jnp.int32)
@@ -128,8 +134,7 @@ def distributed_uniform_walks(
                 (wid_l, cur), owner, axis, n_dev, per_dev
             )
             kdev, ks = jax.random.split(kdev)
-            nxt = uniform_neighbor(g, jnp.maximum(r_cur, 0), ks)
-            nxt = jnp.where(r_cur >= 0, nxt, -1)
+            nxt = sample_at_owner(me, r_cur, ks)
             # route the result back to the walker's home shard
             home = jnp.where(r_wid >= 0, r_wid // per_dev, -1)
             (h_wid, h_nxt), _ = exchange_by_owner(
@@ -141,5 +146,44 @@ def distributed_uniform_walks(
 
         walks, _ = jax.lax.fori_loop(0, num_steps, step, (walks, kdev))
         return walks
+
+    if sharded:
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(axis),
+                P(axis),
+                P(),
+                P(axis, None),
+                P(axis, None),
+                P(axis, None),
+            ),
+            out_specs=P(axis),
+        )
+        def run_sharded(starts_l, wid_l, key_r, rp_b, col_b, deg_b):
+            g_loc = local_graph(rp_b, col_b, deg_b, g.max_degree)
+
+            def sample(me, r_cur, ks):
+                # owner-local ids: every routed walker's node is ours
+                loc = jnp.where(r_cur >= 0, r_cur - me * nodes_per_dev, -1)
+                return uniform_neighbor(g_loc, loc, ks)
+
+            return loop(starts_l, wid_l, key_r, sample)
+
+        return run_sharded(starts, wid, jnp.stack([key]), g.row_ptr, g.col, g.deg)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    def run(starts_l, wid_l, key_r):
+        def sample(me, r_cur, ks):
+            return uniform_neighbor(g, r_cur, ks)
+
+        return loop(starts_l, wid_l, key_r, sample)
 
     return run(starts, wid, jnp.stack([key]))

@@ -29,26 +29,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from graphtpu.core.config import UniWalkConfig
 from graphtpu.core.graph import Graph
 from graphtpu.dist.frontier import distributed_uniform_walks, exchange_by_owner
+from graphtpu.dist.sharded_graph import ShardedGraph
 from graphtpu.kernels.topk import (
     pair_topk_by_source,
     segment_sum_1d,
-    topk_rows,
+    segment_topk,
 )
 from graphtpu.simrank.uniwalk import (
     _first_meet_mask,
     _reuse_items,
-    _tile_increments,
+    _tile_items,
 )
 
 
+def _global_deg(g) -> jax.Array:
+    """int32[>=V] degree lookup valid for any node id (replicated O(V))."""
+    return g.deg_global if isinstance(g, ShardedGraph) else g.deg
+
+
 def distributed_uniwalk_simrank(
-    g: Graph,
+    g,
     mesh: Mesh,
     cfg: UniWalkConfig = UniWalkConfig(),
     key: Optional[jax.Array] = None,
     sources: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(topk values, topk indices) for the given sources (default: all).
+
+    ``g``: replicated :class:`Graph` or partitioned :class:`ShardedGraph`
+    (each device then walks against only its local CSR block).
 
     Sources are padded to a multiple of the mesh size; each device owns a
     contiguous source block (its "worker partition") and the walk frontier
@@ -78,6 +87,7 @@ def distributed_uniwalk_simrank(
 
     shard = NamedSharding(mesh, P(axis))
     row_shard = NamedSharding(mesh, P(axis, None))
+    deg = _global_deg(g)
 
     @partial(jax.jit, out_shardings=(row_shard, row_shard))
     def flush(walks, src):
@@ -85,18 +95,18 @@ def distributed_uniwalk_simrank(
         w = jax.lax.with_sharding_constraint(
             w, NamedSharding(mesh, P(axis, None, None))
         )
-        sim = _tile_increments(g, w, cfg.step, cfg.c, cfg.sample)
-        rows = jnp.arange(n_p)
-        sim = sim.at[rows, src].set(0.0)
-        vals, idx = topk_rows(sim, cfg.topk)
-        return vals, idx
+        # scatter-free: flat items -> sort-based per-source top-k; the
+        # diagonal is excluded in _tile_items (target != source), matching
+        # compute() zeroing it (SingleRandomWalk.java:44)
+        targets, vals = _tile_items(deg, w, cfg.step, cfg.c, cfg.sample)
+        return segment_topk(targets, vals, cfg.topk, g.n_nodes)
 
     vals, idx = flush(walks, jax.device_put(jnp.asarray(src_p), shard))
     return np.asarray(vals)[:n], np.asarray(idx)[:n]
 
 
 def distributed_uniwalk_simrank_reuse(
-    g: Graph,
+    g,
     mesh: Mesh,
     cfg: UniWalkConfig = UniWalkConfig(),
     key: Optional[jax.Array] = None,
@@ -158,8 +168,17 @@ def distributed_uniwalk_simrank_reuse(
     from jax import shard_map
 
     rows_per = v_p // n_dev
+    deg = _global_deg(g)
     items_local = (n_walkers // n_dev) * times * cfg.step
-    capacity = max(64, int(math.ceil(items_local / n_dev * route_slack)))
+    # Bucket capacity is per (sender, owner) pair.  Offset-0 sources are
+    # the walk starts, which live on their OWN owner shard when starts are
+    # node-partition aligned (the windowed/default layout) — so the self
+    # bucket carries ~items/times deterministically; the remaining offsets
+    # mix toward uniform and get slack × fair-share.  Overflow raises.
+    capacity = int(
+        math.ceil(items_local / max(times, 1))
+        + max(64, math.ceil(items_local / n_dev * route_slack))
+    )
 
     @partial(
         shard_map,
@@ -169,7 +188,7 @@ def distributed_uniwalk_simrank_reuse(
     )
     def flush(walks_l):
         srcs, tgts, vals, cnt_src = _reuse_items(
-            g, walks_l, cfg.step, cfg.c, times
+            deg, walks_l, cfg.step, cfg.c, times
         )
         counts = segment_sum_1d(
             cnt_src, jnp.ones_like(cnt_src, jnp.float32), v_p

@@ -50,11 +50,13 @@ def _first_meet_mask(walks: jax.Array, i: int) -> jax.Array:
 
 
 def _tile_items(
-    g: Graph, walks: jax.Array, step: int, c: float, sample: int
+    deg: jax.Array, walks: jax.Array, step: int, c: float, sample: int
 ):
     """(targets [T, S*step], values [T, S*step]) increment items from
-    [T, S, 2*step+1] walks; invalid items carry target -1."""
-    deg = g.deg
+    [T, S, 2*step+1] walks; invalid items carry target -1.
+
+    ``deg``: int32[V] global degrees (``Graph.deg`` or a sharded graph's
+    replicated ``deg_global``)."""
     source = walks[:, :, 0]
     tgt_list, val_list = [], []
     for i in range(1, step + 1):
@@ -80,12 +82,12 @@ def _tile_items(
 
 
 def _tile_increments(
-    g: Graph, walks: jax.Array, step: int, c: float, sample: int
+    deg: jax.Array, n_nodes: int, walks: jax.Array, step: int, c: float, sample: int
 ) -> jax.Array:
     """[T, V] similarity tile from [T, S, 2*step+1] walks (dense path)."""
     t, s, _ = walks.shape
-    targets, vals = _tile_items(g, walks, step, c, sample)
-    sim = jnp.zeros((t, g.n_nodes), jnp.float32)
+    targets, vals = _tile_items(deg, walks, step, c, sample)
+    sim = jnp.zeros((t, n_nodes), jnp.float32)
     t_idx = jnp.broadcast_to(
         jnp.arange(t)[:, None], targets.shape
     )
@@ -120,7 +122,7 @@ def uniwalk_simrank(
         starts = jnp.repeat(src_tile, cfg.sample)
         walks = uniform_walks(g, starts, 2 * cfg.step, k)
         walks = walks.reshape(tile, cfg.sample, 2 * cfg.step + 1)
-        sim = _tile_increments(g, walks, cfg.step, cfg.c, cfg.sample)
+        sim = _tile_increments(g.deg, g.n_nodes, walks, cfg.step, cfg.c, cfg.sample)
         # sim(v,v) = 0 (compute() zeroes the diagonal, SingleRandomWalk.java:44)
         t_idx = jnp.arange(tile)
         sim = sim.at[t_idx, src_tile].set(0.0)
@@ -135,7 +137,7 @@ def uniwalk_simrank(
         starts = jnp.repeat(src_tile, cfg.sample)
         walks = uniform_walks(g, starts, 2 * cfg.step, k)
         walks = walks.reshape(tile, cfg.sample, 2 * cfg.step + 1)
-        targets, vals = _tile_items(g, walks, cfg.step, cfg.c, cfg.sample)
+        targets, vals = _tile_items(g.deg, walks, cfg.step, cfg.c, cfg.sample)
         # diagonal exclusion: the source itself never appears as a target
         # (target != source filtered in _tile_items)
         return segment_topk(targets, vals, cfg.topk, g.n_nodes)
@@ -167,7 +169,7 @@ def uniwalk_simrank(
     return out_vals, out_idx
 
 
-def _reuse_items(g: Graph, walks: jax.Array, step: int, c: float, times: int):
+def _reuse_items(deg: jax.Array, walks: jax.Array, step: int, c: float, times: int):
     """Flat (srcs, tgts, vals, sample_srcs) item stream from reuse walks.
 
     ``walks``: [B, 2*step + times]; offset ``o`` of each physical walk is a
@@ -175,8 +177,8 @@ def _reuse_items(g: Graph, walks: jax.Array, step: int, c: float, times: int):
     (``SingleRandomWalkOptimal2.java:49-64``).  ``srcs``/``tgts`` carry -1
     for filtered items; ``sample_srcs`` lists one entry per (walk, offset)
     live sample (-1 when dead) for the flush normalisation counts.
+    ``deg``: int32[V] global degrees.
     """
-    deg = g.deg
     src_list, tgt_list, val_list, cnt_list = [], [], [], []
     for o in range(times):
         seg = walks[:, o : o + 2 * step + 1]
@@ -237,7 +239,7 @@ def uniwalk_simrank_reuse(
     @jax.jit
     def run(walks):
         srcs, tgts, vals, cnt_src = _reuse_items(
-            g, walks, cfg.step, cfg.c, times
+            g.deg, walks, cfg.step, cfg.c, times
         )
         counts = segment_sum_1d(cnt_src, jnp.ones_like(cnt_src, jnp.float32), v)
         sim = jnp.zeros((v, v), jnp.float32)
@@ -276,7 +278,7 @@ def uniwalk_simrank_reuse_topk(
     @jax.jit
     def run(walks):
         srcs, tgts, vals, cnt_src = _reuse_items(
-            g, walks, cfg.step, cfg.c, times
+            g.deg, walks, cfg.step, cfg.c, times
         )
         counts = segment_sum_1d(cnt_src, jnp.ones_like(cnt_src, jnp.float32), v)
         return pair_topk_by_source(

@@ -161,6 +161,80 @@ def test_distributed_uniwalk_reuse_matches_exact_ranking(small_random):
     assert total > 0 and hits / total > 0.5, hits / max(total, 1)
 
 
+def _medium_random(v=256, e=2048, seed=3):
+    rng = np.random.default_rng(seed)
+    edges = rng.integers(0, v, size=(e, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    ring = np.stack([np.arange(v), (np.arange(v) + 1) % v], 1)
+    return graphtpu.build_graph(np.concatenate([edges, ring]), n_nodes=v)
+
+
+def test_shard_graph_roundtrip_and_locality():
+    """Shards must partition the CSR exactly, and no device block may hold
+    the full edge array (the graph exceeds one worker)."""
+    from graphtpu.dist.sharded_graph import shard_graph
+
+    g = _medium_random()
+    mesh = make_1d_mesh(8)
+    sg = shard_graph(g, 8, mesh=mesh)
+    assert sg.e_cap < g.n_edges, (sg.e_cap, g.n_edges)
+    # per-device blocks: [1, e_cap] each, physically on distinct devices
+    assert len(sg.col.sharding.device_set) == 8
+    # reconstruct the global CSR from the shards
+    rp = np.asarray(sg.row_ptr)
+    col = np.asarray(sg.col)
+    deg = np.asarray(sg.deg)
+    got_col, got_deg = [], []
+    for d in range(8):
+        n_local = int(rp[d, -1])
+        got_col.append(col[d, :n_local])
+        got_deg.append(deg[d])
+    got_col = np.concatenate(got_col)
+    got_deg = np.concatenate(got_deg)[: g.n_nodes]
+    np.testing.assert_array_equal(got_col, np.asarray(g.col))
+    np.testing.assert_array_equal(got_deg, np.asarray(g.deg))
+    np.testing.assert_array_equal(
+        np.asarray(sg.deg_global)[: g.n_nodes], np.asarray(g.deg)
+    )
+
+
+def test_distributed_walks_sharded_equals_replicated():
+    """Same key: walking against local CSR shards must produce EXACTLY the
+    walks of the replicated graph (routing and RNG streams are shared)."""
+    from graphtpu.dist.sharded_graph import shard_graph
+
+    g = _medium_random()
+    mesh = make_1d_mesh(8)
+    sg = shard_graph(g, 8, mesh=mesh)
+    kw = dict(n_walkers=128, num_steps=6, key=jax.random.key(5), mesh=mesh)
+    w_rep = np.asarray(distributed_uniform_walks(g, **kw))
+    w_shd = np.asarray(distributed_uniform_walks(sg, **kw))
+    np.testing.assert_array_equal(w_rep, w_shd)
+    # and the walks are real edges
+    rp, col = np.asarray(g.row_ptr), np.asarray(g.col)
+    for b in range(0, 128, 7):
+        for t in range(6):
+            u, v = w_shd[b, t], w_shd[b, t + 1]
+            if v < 0:
+                continue
+            assert v in col[rp[u] : rp[u + 1]], (b, t, u, v)
+
+
+def test_distributed_reuse_on_sharded_graph_equals_replicated():
+    from graphtpu.core.config import UniWalkConfig
+    from graphtpu.dist.sharded_graph import shard_graph
+    from graphtpu.dist.uniwalk_dist import distributed_uniwalk_simrank_reuse
+
+    g = _medium_random()
+    mesh = make_1d_mesh(8)
+    sg = shard_graph(g, 8, mesh=mesh)
+    cfg = UniWalkConfig(sample=64, step=2, reuse_times=4, topk=5)
+    v1, i1 = distributed_uniwalk_simrank_reuse(g, mesh, cfg, key=jax.random.key(2))
+    v2, i2 = distributed_uniwalk_simrank_reuse(sg, mesh, cfg, key=jax.random.key(2))
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+
+
 def test_distributed_uniwalk_reuse_equals_dense_oracle(small_random):
     """Feeding the SAME walks, the item-routed distributed flush must
     reproduce the single-device dense reuse oracle value-for-value (the
