@@ -171,12 +171,33 @@ def build_graph(
 
 
 def _finish_graph(row_ptr, col, wts, deg) -> Graph:
-    return Graph(
+    g = Graph(
         row_ptr=jnp.asarray(row_ptr),
         col=jnp.asarray(col),
         weight=None if wts is None else jnp.asarray(wts),
         deg=jnp.asarray(deg),
         max_degree=int(deg.max(initial=0)),
+    )
+    # host-side CSR mirror for plan builders (reduction trees, shards,
+    # alias tables): device->host readback through the axon tunnel has
+    # pathological first-touch latency (47s for a 152KB row_ptr measured),
+    # so host consumers must never round-trip the device.  Private (not a
+    # pytree field): dropped by jit tracing, used via host_csr(g).
+    object.__setattr__(g, "_host_csr", (row_ptr, col, wts, deg))
+    return g
+
+
+def host_csr(g: Graph):
+    """(row_ptr, col, weight, deg) as numpy — from the construction-time
+    mirror when available, else one device readback."""
+    cached = getattr(g, "_host_csr", None)
+    if cached is not None:
+        return cached
+    return (
+        np.asarray(g.row_ptr),
+        np.asarray(g.col),
+        None if g.weight is None else np.asarray(g.weight),
+        np.asarray(g.deg),
     )
 
 
@@ -202,6 +223,25 @@ def read_edgelist_graph(
     if not weighted:
         wts = None
     return build_graph(edges, wts, n_nodes=n_nodes, directed=directed, dedup=dedup)
+
+
+def pad_graph_nodes(g: Graph, n_nodes: int) -> Graph:
+    """Extend ``g`` with isolated (degree-0) pad nodes up to ``n_nodes``.
+
+    Pad nodes have empty CSR rows and are never referenced as targets, so
+    algorithms see identical results on the real prefix; used to satisfy
+    kernel alignment requirements (e.g. the streaming SpMM's 1024-lane
+    column blocks).
+    """
+    v = g.n_nodes
+    assert n_nodes >= v
+    if n_nodes == v:
+        return g
+    rp, col, wts, deg = host_csr(g)
+    rp = np.asarray(rp)
+    rp2 = np.concatenate([rp, np.full(n_nodes - v, rp[-1], rp.dtype)])
+    deg2 = np.concatenate([np.asarray(deg), np.zeros(n_nodes - v, np.int32)])
+    return _finish_graph(rp2, np.asarray(col), wts, deg2)
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from graphtpu.core.graph import Graph
+from graphtpu.core.graph import Graph, host_csr
 
 
 @partial(
@@ -84,10 +84,11 @@ def shard_graph(
     v = g.n_nodes
     nodes_per = -(-v // n_dev)
     v_p = nodes_per * n_dev
-    row_ptr = np.asarray(g.row_ptr).astype(np.int64)
-    col = np.asarray(g.col)
-    wts = None if g.weight is None else np.asarray(g.weight)
-    deg = np.asarray(g.deg)
+    rp_h, col_h, w_h, deg_h = host_csr(g)
+    row_ptr = np.asarray(rp_h).astype(np.int64)
+    col = np.asarray(col_h)
+    wts = None if w_h is None else np.asarray(w_h)
+    deg = np.asarray(deg_h)
 
     counts = [
         int(row_ptr[min((d + 1) * nodes_per, v)] - row_ptr[min(d * nodes_per, v)])

@@ -1,0 +1,590 @@
+"""CSR × dense SpMM as a padded W-ary gather-reduction tree.
+
+SimRank's operator form S' = C·P·S·Pᵀ (``simrank/SimRank.java:67-77``)
+needs the sparse-dense product P·X where P is the row-stochastic
+adjacency: row i of P·X is ``(1/d_i) Σ_{u∈N(i)} X[u, :]`` — a segment sum
+of gathered rows.  The dense form costs V³ MXU FLOPs; at real-graph
+density (E ≪ V²) the SpMM form is bandwidth-bound at ~E·V reads instead.
+
+TPU constraints shape the design:
+
+  * scatter-add with many update rows serialises (the embedding cliff) —
+    so there are NO scatters here, only gathers;
+  * a global cumsum + boundary-diff loses precision catastrophically
+    (segment value = difference of two O(E)-magnitude prefixes), so the
+    1e-6 gold-parity requirement rules it out;
+  * variable-length CSR segments are hostile to static shapes;
+  * XLA's row gather tops out at ~145 GB/s on v5e (measured,
+    tools/exp_gather_variants.py) — far under HBM — so the hot level
+    runs as a Pallas kernel with a ring of pipelined row DMAs.
+
+The plan is a **padded W-ary reduction tree** built host-side once per
+graph: every CSR row is chopped into mini-rows of W slots, level 1
+gathers W source rows per mini-row and adds them (exact f32 tree sum),
+level k≥2 reduces W level-(k-1) partial rows, until each node owns
+exactly one row — node order falls out by construction.  Every slot
+carries a weight: edge weight (or 1) at level 1, validity at deeper
+levels, with pad slots pointing at row 0 with weight 0, and the final
+1/Σw row scale folded into the last level's weights — so one primitive,
+``gather_rows_sum(slots, weights, table)``, implements every level, and
+the deg==0 → zero-row rule (``SimRank.java:69``) costs nothing.
+
+Weighted P follows ``weighted/WeightedSimRank.java:68-93``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphtpu.core.graph import Graph, host_csr
+
+_LANE = 128          # TPU lane width; mini-row blocks sized in multiples
+_BM = 256            # mini-rows per Pallas grid step (before VMEM cap)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "weights"],
+    meta_fields=["width", "n_nodes", "real_rows"],
+)
+@dataclasses.dataclass(frozen=True)
+class ReductionTree:
+    """Static gather plan for P·X over one graph.
+
+    ``levels[k]``: int32[M_k, W] row indices into the previous level's
+    output (level 0 indexes X itself via CSR ``col`` values); pad slots
+    point at row 0.  ``weights[k]``: float32[M_k, W] per-slot factors
+    (edge weight / Σw at level 0 when the tree is single-level, validity
+    or final row scale deeper).  ``levels[-1]`` yields ``n_nodes`` real
+    rows in node order (padded to a block multiple; ``real_rows[k]`` is
+    the unpadded M_k).
+    """
+
+    levels: Tuple[jax.Array, ...]
+    weights: Tuple[jax.Array, ...]
+    width: int
+    n_nodes: int
+    real_rows: Tuple[int, ...]
+
+
+def _pad_rows(a: np.ndarray, mult: int, fill) -> np.ndarray:
+    pad = (-a.shape[0]) % mult
+    if pad == 0:
+        return a
+    return np.concatenate([a, np.full((pad, a.shape[1]), fill, a.dtype)])
+
+
+def build_reduction_tree(
+    g: Graph, width: int = 8, weighted: bool = False, block: int = _BM
+) -> ReductionTree:
+    """Host-side plan construction from CSR (numpy; one pass per level)."""
+    rp_h, col_h, w_h, _ = host_csr(g)
+    rp = np.asarray(rp_h).astype(np.int64)
+    col = np.asarray(col_h).astype(np.int64)
+    v = g.n_nodes
+    d = np.diff(rp)
+    w = width
+
+    wsrc = (
+        np.asarray(w_h, np.float32)
+        if (weighted and w_h is not None)
+        else np.ones(len(col), np.float32)
+    )
+    denom = np.zeros(v, np.float64)
+    np.add.at(denom, np.repeat(np.arange(v), d), wsrc)
+    scale = np.where(denom > 0, 1.0 / np.maximum(denom, 1e-30), 0.0).astype(
+        np.float32
+    )
+
+    # level 1: mini-rows over the CSR column array; pad -> row 0, weight 0
+    m = np.maximum(1, -(-d // w))
+    m1 = int(m.sum())
+    row_of = np.repeat(np.arange(v), m)
+    start = np.cumsum(m) - m
+    r_local = np.arange(m1) - start[row_of]
+    slots = np.zeros((m1, w), np.int64)
+    wts = np.zeros((m1, w), np.float32)
+    for j in range(w):
+        e = rp[:-1][row_of] + r_local * w + j
+        ok = e < rp[1:][row_of]
+        slots[ok, j] = col[e[ok]]
+        wts[ok, j] = wsrc[e[ok]]
+    levels = [slots]
+    weights = [wts]
+    counts = [m]
+
+    # levels 2+: reduce mini-row counts by W until one row per node
+    cnt = m
+    while cnt.max() > 1:
+        prev_start = np.cumsum(cnt) - cnt
+        m2 = np.maximum(1, -(-cnt // w))
+        mk = int(m2.sum())
+        row_of2 = np.repeat(np.arange(v), m2)
+        start2 = np.cumsum(m2) - m2
+        r2 = np.arange(mk) - start2[row_of2]
+        sl = np.zeros((mk, w), np.int64)
+        wt = np.zeros((mk, w), np.float32)
+        for j in range(w):
+            p = r2 * w + j
+            ok = p < cnt[row_of2]
+            sl[ok, j] = prev_start[row_of2][ok] + p[ok]
+            wt[ok, j] = 1.0
+        levels.append(sl)
+        weights.append(wt)
+        counts.append(m2)
+        cnt = m2
+    assert levels[-1].shape[0] == v
+
+    # fold the 1/deg (or 1/Σw) row scale into the last level's weights
+    weights[-1] = weights[-1] * scale[:, None]
+
+    # pad each level's row count to the kernel block multiple; deeper
+    # levels index the PREVIOUS level's padded layout, which matches
+    # because slot indices are into the unpadded prefix
+    real = tuple(l.shape[0] for l in levels)
+    levels = [_pad_rows(l, block, 0) for l in levels]
+    weights = [_pad_rows(x, block, 0.0) for x in weights]
+
+    return ReductionTree(
+        levels=tuple(jnp.asarray(l.astype(np.int32)) for l in levels),
+        weights=tuple(jnp.asarray(x) for x in weights),
+        width=w,
+        n_nodes=v,
+        real_rows=real,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming CSR SpMV plan: one (slot, weight, row) item per edge, row-major
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["slots", "wts", "pos"],
+    meta_fields=["n_nodes", "n_items", "block_items"],
+)
+@dataclasses.dataclass(frozen=True)
+class SpmvStream:
+    """Flat row-major item stream for the streaming Pallas SpMM.
+
+    ``slots[t]``: source row of X to gather; ``wts[t]``: its coefficient
+    (edge weight × 1/Σw row scale folded in); ``pos[t]``: output row —
+    NONDECREASING (CSR order), so each output row is one contiguous run.
+    Isolated nodes carry one (slot 0, weight 0) dummy item so every
+    output row is written exactly once (deg==0 → zero row,
+    ``SimRank.java:69``).  Padded to a block multiple with zero-weight
+    items on the last row.
+    """
+
+    slots: jax.Array   # int32[T]
+    wts: jax.Array     # float32[T]
+    pos: jax.Array     # int32[T]
+    n_nodes: int
+    n_items: int
+    block_items: int
+
+
+def build_spmv_stream(
+    g: Graph, weighted: bool = False, block_items: int = 1024
+) -> SpmvStream:
+    """Host-side stream construction from CSR (numpy, no padding waste)."""
+    rp_h, col_h, w_h, _ = host_csr(g)
+    rp = np.asarray(rp_h).astype(np.int64)
+    col = np.asarray(col_h).astype(np.int64)
+    v = g.n_nodes
+    d = np.diff(rp)
+    wsrc = (
+        np.asarray(w_h, np.float32)
+        if (weighted and w_h is not None)
+        else np.ones(len(col), np.float32)
+    )
+    denom = np.zeros(v, np.float64)
+    np.add.at(denom, np.repeat(np.arange(v), d), wsrc)
+    scale = np.where(denom > 0, 1.0 / np.maximum(denom, 1e-30), 0.0)
+
+    # per-row item counts: max(deg, 1) — isolated rows get a dummy item
+    cnt = np.maximum(d, 1)
+    t_real = int(cnt.sum())
+    pos = np.repeat(np.arange(v), cnt).astype(np.int32)
+    slots = np.zeros(t_real, np.int64)
+    wts = np.zeros(t_real, np.float32)
+    start = np.cumsum(cnt) - cnt
+    # scatter real edges into their stream positions
+    e_idx = np.arange(t_real) - start[pos]
+    real = e_idx < d[pos]
+    slots[real] = col[rp[pos[real]] + e_idx[real]]
+    wts[real] = (wsrc * scale.astype(np.float32)[np.repeat(np.arange(v), d)])[
+        rp[pos[real]] + e_idx[real]
+    ]
+    pad = (-t_real) % block_items
+    if pad:
+        slots = np.concatenate([slots, np.zeros(pad, np.int64)])
+        wts = np.concatenate([wts, np.zeros(pad, np.float32)])
+        pos = np.concatenate([pos, np.full(pad, v - 1, np.int32)])
+    return SpmvStream(
+        slots=jnp.asarray(slots.astype(np.int32)),
+        wts=jnp.asarray(wts),
+        pos=jnp.asarray(pos),
+        n_nodes=v,
+        n_items=t_real,
+        block_items=block_items,
+    )
+
+
+def _spmv_kernel(
+    c, nbuf, slots_ref, wts_ref, pos_ref, table_ref, out_ref, buf, acc, rd_sems, wr_sems, state
+):
+    """Streaming CSR SpMV: DMA each item's source row through an NBUF ring,
+    Kahan-accumulate runs of equal ``pos`` in a double-buffered VMEM
+    accumulator, flush each finished row to HBM with a write DMA.
+
+    state (SMEM int32[4]): [current_row, active_zone, pending_wr0,
+    pending_wr1].  acc (VMEM float32[2*2*c]): two zones of (sum, comp).
+    Grid steps run sequentially on the core, so scratch persists and rows
+    may span item blocks.
+    """
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tb = slots_ref.shape[0]
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        state[0] = -1
+        state[1] = 0
+        state[2] = 0
+        state[3] = 0
+
+    def rd_dma(t):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(slots_ref[t] * c, c)],
+            buf.at[pl.ds((t % nbuf) * c, c)],
+            rd_sems.at[t % nbuf],
+        )
+
+    for t in range(nbuf):  # warmup (tb >= nbuf)
+        rd_dma(t).start()
+
+    def wr_dma(zone, row):
+        return pltpu.make_async_copy(
+            acc.at[pl.ds(zone * 2 * c, c)],
+            out_ref.at[pl.ds(row * c, c)],
+            wr_sems.at[zone],
+        )
+
+    def body(t, _):
+        row_pos = pos_ref[t]
+        prev = state[0]
+        zone = state[1]
+        is_new = row_pos != prev
+
+        @pl.when(is_new)
+        def _():
+            # flush the finished row (not on the very first item)
+            @pl.when(prev >= 0)
+            def _():
+                wr_dma(zone, prev).start()
+                state[2 + zone] = 1
+
+            nz = 1 - zone
+            # the new zone's previous write must have landed before reuse
+            @pl.when(state[2 + nz] == 1)
+            def _():
+                wr_dma(nz, 0).wait()  # sem identity is what matters
+                state[2 + nz] = 0
+
+            state[0] = row_pos
+            state[1] = nz
+
+        z = state[1]
+        rd_dma(t).wait()
+        row = buf[pl.ds((t % nbuf) * c, c)] * wts_ref[t]
+
+        @pl.when(is_new)
+        def _():
+            acc[pl.ds(z * 2 * c, c)] = row
+            acc[pl.ds(z * 2 * c + c, c)] = jnp.zeros((c,), jnp.float32)
+
+        @pl.when(jnp.logical_not(is_new))
+        def _():
+            # Kahan: keeps long power-law rows at ~eps instead of O(d)·eps
+            s0 = acc[pl.ds(z * 2 * c, c)]
+            comp = acc[pl.ds(z * 2 * c + c, c)]
+            y = row - comp
+            t2 = s0 + y
+            acc[pl.ds(z * 2 * c + c, c)] = (t2 - s0) - y
+            acc[pl.ds(z * 2 * c, c)] = t2
+
+        @pl.when(t + nbuf < tb)
+        def _():
+            rd_dma(t + nbuf).start()
+
+        return 0
+
+    lax.fori_loop(0, tb, body, 0)
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        # final row flush + drain all pending writes before kernel exit
+        zone = state[1]
+        wr_dma(zone, state[0]).start()
+        wr_dma(zone, 0).wait()
+        nz = 1 - zone
+
+        @pl.when(state[2 + nz] == 1)
+        def _():
+            wr_dma(nz, 0).wait()
+            state[2 + nz] = 0
+
+
+def spmv_pallas(
+    stream: SpmvStream,
+    x: jax.Array,
+    nbuf: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """P @ x via the streaming kernel: [V, C] -> [V, C], C % 1024 == 0.
+
+    DMA traffic is exactly (E + isolated) row reads + V row writes — no
+    padding waste, any degree distribution, one pass.
+    """
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, c = x.shape
+    v = stream.n_nodes
+    assert c % 1024 == 0, c
+    tb = stream.block_items
+    t_total = stream.slots.shape[0]
+    grid = (t_total // tb,)
+    kernel = pl.pallas_call(
+        _ft.partial(_spmv_kernel, c, nbuf),
+        out_shape=jax.ShapeDtypeStruct((v * c,), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf * c,), x.dtype),
+            pltpu.VMEM((2 * 2 * c,), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((4,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+    return kernel(stream.slots, stream.wts, stream.pos, x.reshape(-1)).reshape(
+        v, c
+    )
+
+
+def spmv_stream_xla(stream: SpmvStream, x: jax.Array) -> jax.Array:
+    """XLA oracle of the streaming plan (CPU tests): segment accumulate
+    via the gather + boundary arithmetic of the item run structure."""
+    rows = x[stream.slots] * stream.wts[:, None]
+    return jax.ops.segment_sum(
+        rows, stream.pos, num_segments=stream.n_nodes
+    )
+
+
+# ---------------------------------------------------------------------------
+# level primitive: out[m, :] = sum_j weights[m, j] * table[slots[m, j], :]
+# ---------------------------------------------------------------------------
+
+
+def gather_rows_sum_xla(
+    slots: jax.Array, weights: jax.Array, table: jax.Array
+) -> jax.Array:
+    """Reference XLA formulation (CPU tests, small graphs, fallback)."""
+    w = slots.shape[1]
+    acc = None
+    for j in range(w):
+        r = table[slots[:, j]] * weights[:, j][:, None]
+        acc = r if acc is None else acc + r
+    return acc
+
+
+def _gather_kernel(c: int, slots_ref, wts_ref, table_ref, out_ref, buf, sems):
+    """Ring-pipelined row-gather-accumulate (one grid step = BM mini-rows).
+
+    ``table_ref`` is the FLATTENED [N*C] table in HBM; each slot row is
+    DMA'd into a 1-D VMEM ring buffer with NBUF copies in flight, hiding
+    per-DMA latency — the pattern XLA's gather lowering does not apply
+    (it runs ~145 GB/s; this kernel is bandwidth-limited instead).
+    Everything is 1-D because Mosaic requires dim-0 slices of tiled 2-D
+    VMEM buffers to be multiples of 8 sublanes; C is a multiple of 128
+    lanes so 1-D dynamic slices are always aligned.
+    """
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bm, w = slots_ref.shape
+    nbuf = buf.shape[0] // c
+    total = bm * w
+
+    def dma(t, slot_val):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(slot_val * c, c)],
+            buf.at[pl.ds((t % nbuf) * c, c)],
+            sems.at[t % nbuf],
+        )
+
+    def issue(t):
+        m, j = t // w, t % w
+        dma(t, slots_ref[m, j]).start()
+
+    for t in range(nbuf):  # static warmup (total >= nbuf by construction)
+        issue(t)
+
+    def body(t, _):
+        m, j = t // w, t % w
+        dma(t, slots_ref[m, j]).wait()
+        row = buf[pl.ds((t % nbuf) * c, c)] * wts_ref[m, j]
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[pl.ds(m * c, c)] = row
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[pl.ds(m * c, c)] = out_ref[pl.ds(m * c, c)] + row
+
+        @pl.when(t + nbuf < total)
+        def _():
+            issue(t + nbuf)
+
+        return 0
+
+    lax.fori_loop(0, total, body, 0)
+
+
+def gather_rows_sum_pallas(
+    slots: jax.Array,
+    weights: jax.Array,
+    table: jax.Array,
+    block: int = _BM,
+    nbuf: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas row-gather-sum: [M, W] slots over table [N, C] -> [M, C].
+
+    C must be a multiple of 128 (lane alignment of the 1-D dynamic
+    slices); M must be a multiple of the row block.
+    """
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, w = slots.shape
+    n, c = table.shape
+    # 1-D dynamic slice offsets must be provably aligned to the f32
+    # native tile (8 sublanes x 128 lanes = 1024 elements)
+    assert c % 1024 == 0, c
+    # VMEM budget: out block + ring buffer; shrink the row block for wide C
+    bm = block
+    while bm > 8 and bm * c * 4 > 4 * 1024 * 1024:
+        bm //= 2
+    assert m % bm == 0, (m, bm)
+    grid = (m // bm,)
+    kernel = pl.pallas_call(
+        _ft.partial(_gather_kernel, c),
+        out_shape=jax.ShapeDtypeStruct((m * c,), table.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, w), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, w), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((bm * c,), lambda i: (i,), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf * c,), table.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        interpret=interpret,
+    )
+    return kernel(slots, weights, table.reshape(-1)).reshape(m, c)
+
+
+def tree_spmm(
+    tree: ReductionTree,
+    x: jax.Array,
+    col_block: int = 4096,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """P @ x via the reduction tree; ``impl`` in {"auto", "pallas", "xla"}.
+
+    Column-blocked so per-level partials ([M1, C_blk]) stay bounded at
+    any V.  Jit the CALLER; blocks unroll at trace time."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    v, c = x.shape
+    if impl == "pallas":
+        # 1-D dynamic-slice alignment: blocks must be 1024-multiples
+        col_block = -(-min(col_block, max(c, 1024)) // 1024) * 1024
+    else:
+        col_block = min(col_block, c)
+
+    def one_block(xb):
+        cur = xb
+        for k in range(len(tree.levels)):
+            if impl == "pallas":
+                cur = gather_rows_sum_pallas(
+                    tree.levels[k], tree.weights[k], cur, interpret=interpret
+                )
+            else:
+                cur = gather_rows_sum_xla(
+                    tree.levels[k], tree.weights[k], cur
+                )
+        return cur[: tree.n_nodes]
+
+    if c == col_block:
+        return one_block(x)
+    pad = (-c) % col_block
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    blocks = [
+        one_block(jax.lax.dynamic_slice_in_dim(x, lo, col_block, 1))
+        for lo in range(0, c + pad, col_block)
+    ]
+    return jnp.concatenate(blocks, axis=1)[:, :c]
+
+
+def spmm_oracle(g: Graph, x: np.ndarray, weighted: bool = False) -> np.ndarray:
+    """numpy P @ x for tests."""
+    rp = np.asarray(g.row_ptr)
+    col = np.asarray(g.col)
+    v = g.n_nodes
+    w = (
+        np.asarray(g.weight, np.float64)
+        if (weighted and g.weight is not None)
+        else np.ones(len(col))
+    )
+    out = np.zeros((v, x.shape[1]))
+    for i in range(v):
+        lo, hi = rp[i], rp[i + 1]
+        if hi > lo:
+            tot = w[lo:hi].sum()
+            if tot > 0:
+                out[i] = (w[lo:hi, None] * x[col[lo:hi]]).sum(0) / tot
+    return out

@@ -1,0 +1,119 @@
+"""Gather-reduction-tree SpMM (kernels/spmm.py) parity tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import graphtpu
+from graphtpu.core.config import SimRankConfig
+from graphtpu.kernels.spmm import (
+    build_reduction_tree,
+    spmm_oracle,
+    tree_spmm,
+)
+from graphtpu.simrank.exact import exact_simrank, exact_simrank_spmm
+
+
+def _graph(v=67, e=600, seed=0, weighted=False, hub=True):
+    rng = np.random.default_rng(seed)
+    edges = rng.integers(0, v, size=(e, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    if hub:  # force a node whose degree exceeds width**2 (3 tree levels)
+        hub_edges = np.stack(
+            [np.zeros(v - 2, np.int64), np.arange(1, v - 1)], 1
+        )
+        edges = np.concatenate([edges, hub_edges])
+    # node v-1 stays isolated (zero row)
+    edges = edges[(edges[:, 0] != v - 1) & (edges[:, 1] != v - 1)]
+    wts = rng.random(len(edges)).astype(np.float32) + 0.1 if weighted else None
+    return graphtpu.build_graph(edges, weights=wts, n_nodes=v)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.parametrize("width", [4, 8])
+def test_tree_spmm_matches_oracle(weighted, width):
+    g = _graph(weighted=weighted)
+    tree = build_reduction_tree(g, width=width, weighted=weighted)
+    assert len(tree.levels) >= 3  # hub degree > width**2
+    rng = np.random.default_rng(1)
+    x = rng.random((g.n_nodes, 33)).astype(np.float32)
+    got = np.asarray(jax.jit(lambda x: tree_spmm(tree, x))(jnp.asarray(x)))
+    want = spmm_oracle(g, x, weighted=weighted)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # isolated node -> zero output row
+    assert np.all(got[g.n_nodes - 1] == 0)
+
+
+def test_tree_spmm_column_blocking():
+    g = _graph(hub=False)
+    tree = build_reduction_tree(g, width=8)
+    rng = np.random.default_rng(2)
+    x = rng.random((g.n_nodes, 70)).astype(np.float32)  # 70 = 2*32 + 6 tail
+    got = np.asarray(
+        jax.jit(lambda x: tree_spmm(tree, x, col_block=32))(jnp.asarray(x))
+    )
+    want = spmm_oracle(g, x)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_gather_rows_sum_interpret():
+    """The Pallas ring-DMA kernel must equal the XLA formulation
+    (interpreter mode on CPU; the real-TPU run is covered by
+    tools/bench_spmm.py)."""
+    from graphtpu.kernels.spmm import (
+        gather_rows_sum_pallas,
+        gather_rows_sum_xla,
+    )
+
+    rng = np.random.default_rng(3)
+    m, w, n, c = 256, 8, 50, 1024
+    slots = jnp.asarray(rng.integers(0, n, (m, w)).astype(np.int32))
+    wts = jnp.asarray(rng.random((m, w)).astype(np.float32))
+    table = jnp.asarray(rng.random((n, c)).astype(np.float32))
+    got = np.asarray(
+        gather_rows_sum_pallas(slots, wts, table, interpret=True)
+    )
+    want = np.asarray(gather_rows_sum_xla(slots, wts, table))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_spmv_stream_plan_matches_oracle(weighted):
+    from graphtpu.kernels.spmm import build_spmv_stream, spmv_stream_xla
+
+    g = _graph(weighted=weighted)
+    stream = build_spmv_stream(g, weighted=weighted, block_items=64)
+    rng = np.random.default_rng(4)
+    x = rng.random((g.n_nodes, 33)).astype(np.float32)
+    got = np.asarray(spmv_stream_xla(stream, jnp.asarray(x)))
+    want = spmm_oracle(g, x, weighted=weighted)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert np.all(got[g.n_nodes - 1] == 0)  # isolated node -> zero row
+
+
+def test_spmv_pallas_streaming_interpret():
+    """The streaming kernel (ring DMAs + Kahan runs + row flush DMAs) must
+    match the oracle, including rows spanning item blocks, isolated rows,
+    and the final-flush path."""
+    from graphtpu.kernels.spmm import build_spmv_stream, spmv_pallas
+
+    g = _graph(v=40, e=300, hub=True)  # hub row spans many 16-item blocks
+    stream = build_spmv_stream(g, block_items=16)
+    rng = np.random.default_rng(5)
+    x = rng.random((g.n_nodes, 1024)).astype(np.float32)
+    got = np.asarray(spmv_pallas(stream, jnp.asarray(x), interpret=True))
+    want = spmm_oracle(g, x)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert np.all(got[g.n_nodes - 1] == 0)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_exact_simrank_spmm_matches_dense(small_random, weighted):
+    g = small_random
+    cfg = SimRankConfig(iterations=4)
+    dense = np.asarray(exact_simrank(g, cfg, weighted=weighted))
+    sparse = np.asarray(
+        exact_simrank_spmm(g, cfg, weighted=weighted, col_block=48)
+    )
+    np.testing.assert_allclose(sparse, dense, atol=2e-5)
