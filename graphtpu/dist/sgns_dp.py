@@ -28,6 +28,26 @@ from graphtpu.core.config import SGNSConfig
 from graphtpu.models.sgns import sgns_loss
 
 
+def train_sgns_dp(
+    walks,
+    n_nodes: int,
+    mesh: Mesh,
+    cfg: SGNSConfig = SGNSConfig(),
+    **kw,
+):
+    """Full multi-device SGNS training run (epochs, dynamic windows,
+    subsampling, linear LR, checkpoint/resume) — the end-to-end
+    replacement for the reference's complete gensim training flow
+    (``node2vec/src/main.py:92-101``), data-parallel over the mesh.
+
+    Thin entry over :func:`graphtpu.models.sgns.train_sgns` with
+    ``mesh`` set; returns (syn0, syn1) numpy [V, D].
+    """
+    from graphtpu.models.sgns import train_sgns
+
+    return train_sgns(walks, n_nodes, cfg, mesh=mesh, **kw)
+
+
 def make_sgns_train_step(mesh: Mesh, cfg: SGNSConfig, n_nodes: int):
     """Returns (shard_params, train_step).
 

@@ -256,11 +256,19 @@ def train_sgns(
     chunk_steps: int = 200,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Train on a [W, L] walk tensor; returns (syn0, syn1) as numpy [V, D].
 
     Matches the reference training budget: ``cfg.epochs`` passes over every
     center slot (gensim iter=10), LR decaying linearly across the run.
+
+    ``mesh``: optional multi-device mesh ('data' and optionally 'model'
+    axes).  The same math runs data-parallel over the batch axis with the
+    embedding tables row-sharded over 'model' (the synchronous-DP hogwild
+    replacement, SURVEY.md §2.3) — GSPMD inserts the psums/gathers, and a
+    mesh run reproduces the single-device trajectory (tested to 1e-5,
+    modulo reduction order).
     """
     if key is None:
         key = jax.random.key(cfg.seed)
@@ -281,6 +289,18 @@ def train_sgns(
     # like V/B relative to gensim's sequential SGD, so cap the batch near
     # the vocabulary size to keep small-graph training gensim-equivalent.
     batch = min(cfg.batch_size, slots_per_epoch, max(64, n_nodes))
+
+    data_sh = model_sh = repl = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = mesh.axis_names
+        n_data = mesh.shape[axes[0]]
+        batch = max(n_data, batch - batch % n_data)
+        data_sh = NamedSharding(mesh, P(axes[0]))
+        model_axis = axes[1] if len(axes) > 1 else None
+        model_sh = NamedSharding(mesh, P(model_axis, None))
+        repl = NamedSharding(mesh, P())
     steps_per_epoch = slots_per_epoch // batch
     total_steps = max(cfg.epochs * steps_per_epoch, 1)
 
@@ -296,12 +316,16 @@ def train_sgns(
         perm = jax.random.permutation(k_perm, slots_per_epoch)
         return cwalks, perm
 
+    def _constrain(x, sh):
+        return x if sh is None else jax.lax.with_sharding_constraint(x, sh)
+
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
     def run_chunk(params, cwalks, perm, epoch_idx, ckey, start_step, n_steps):
         def step(params, it):
             i, kk = it
             k_win, k_neg = jax.random.split(kk)
             slots = jax.lax.dynamic_slice(perm, (i * batch,), (batch,))
+            slots = _constrain(slots, data_sh)
             centers, contexts, mask = _gather_batch(cwalks, slots, cfg.window, k_win)
             nshape = (
                 (batch, cfg.negative)
@@ -309,6 +333,10 @@ def train_sgns(
                 else (batch, 2 * cfg.window, cfg.negative)
             )
             negs = alias_draw_batch(neg_j, neg_q, k_neg, nshape)
+            if mesh is not None:
+                # data-parallel pair batch; tables row-sharded over 'model'
+                centers = _constrain(centers, data_sh)
+                params = tuple(_constrain(p, model_sh) for p in params)
             gstep = epoch_idx * steps_per_epoch + i
             lr = cfg.alpha - (cfg.alpha - cfg.min_alpha) * gstep / total_steps
             # manual gradients + sort-based row aggregation (no large
@@ -331,6 +359,9 @@ def train_sgns(
         )
         return params
 
+    if mesh is not None:
+        syn0 = jax.device_put(syn0, model_sh)
+        syn1 = jax.device_put(syn1, model_sh)
     params = (syn0, syn1)
     resume_epoch, resume_start = 0, 0
     if checkpoint_path:

@@ -96,6 +96,34 @@ def _tile_increments(
     )
 
 
+@partial(jax.jit, static_argnames=("sample", "step", "c", "topk", "tile"))
+def _uniwalk_tile_topk(g, src_tile, key, *, sample, step, c, topk, tile):
+    """Scatter-free tile kernel (module-level jit: ONE compile per shape
+    across every window of a sweep — the per-call closures this replaces
+    recompiled at every window).  Diagonal exclusion happens in
+    _tile_items (target != source)."""
+    from graphtpu.kernels.topk import segment_topk
+
+    starts = jnp.repeat(src_tile, sample)
+    walks = uniform_walks(g, starts, 2 * step, key)
+    walks = walks.reshape(tile, sample, 2 * step + 1)
+    targets, vals = _tile_items(g.deg, walks, step, c, sample)
+    return segment_topk(targets, vals, topk, g.n_nodes)
+
+
+@partial(jax.jit, static_argnames=("sample", "step", "c", "topk", "tile"))
+def _uniwalk_tile_dense(g, src_tile, key, *, sample, step, c, topk, tile):
+    starts = jnp.repeat(src_tile, sample)
+    walks = uniform_walks(g, starts, 2 * step, key)
+    walks = walks.reshape(tile, sample, 2 * step + 1)
+    sim = _tile_increments(g.deg, g.n_nodes, walks, step, c, sample)
+    # sim(v,v) = 0 (compute() zeroes the diagonal, SingleRandomWalk.java:44)
+    t_idx = jnp.arange(tile)
+    sim = sim.at[t_idx, src_tile].set(0.0)
+    vals, idx = topk_rows(sim, topk)
+    return sim, vals, idx
+
+
 def uniwalk_simrank(
     g: Graph,
     cfg: UniWalkConfig = UniWalkConfig(),
@@ -116,31 +144,9 @@ def uniwalk_simrank(
     sources = np.asarray(sources, dtype=np.int32)
     n = len(sources)
     tile = min(cfg.source_tile, n)
-
-    @jax.jit
-    def run_tile_dense(src_tile: jax.Array, k: jax.Array):
-        starts = jnp.repeat(src_tile, cfg.sample)
-        walks = uniform_walks(g, starts, 2 * cfg.step, k)
-        walks = walks.reshape(tile, cfg.sample, 2 * cfg.step + 1)
-        sim = _tile_increments(g.deg, g.n_nodes, walks, cfg.step, cfg.c, cfg.sample)
-        # sim(v,v) = 0 (compute() zeroes the diagonal, SingleRandomWalk.java:44)
-        t_idx = jnp.arange(tile)
-        sim = sim.at[t_idx, src_tile].set(0.0)
-        vals, idx = topk_rows(sim, cfg.topk)
-        return sim, vals, idx
-
-    @jax.jit
-    def run_tile_topk(src_tile: jax.Array, k: jax.Array):
-        # scatter-free path: sort-based segment top-k (kernels/topk.py)
-        from graphtpu.kernels.topk import segment_topk
-
-        starts = jnp.repeat(src_tile, cfg.sample)
-        walks = uniform_walks(g, starts, 2 * cfg.step, k)
-        walks = walks.reshape(tile, cfg.sample, 2 * cfg.step + 1)
-        targets, vals = _tile_items(g.deg, walks, cfg.step, cfg.c, cfg.sample)
-        # diagonal exclusion: the source itself never appears as a target
-        # (target != source filtered in _tile_items)
-        return segment_topk(targets, vals, cfg.topk, g.n_nodes)
+    kw = dict(
+        sample=cfg.sample, step=cfg.step, c=cfg.c, topk=cfg.topk, tile=tile
+    )
 
     out_vals = np.zeros((n, cfg.topk), np.float32)
     out_idx = np.zeros((n, cfg.topk), np.int32)
@@ -154,13 +160,13 @@ def uniwalk_simrank(
             )
         m = hi - lo
         if dense:
-            sim, vals, idx = run_tile_dense(
-                jnp.asarray(chunk), jax.random.fold_in(key, lo)
+            sim, vals, idx = _uniwalk_tile_dense(
+                g, jnp.asarray(chunk), jax.random.fold_in(key, lo), **kw
             )
             out_dense[lo:hi] = np.asarray(sim)[:m]
         else:
-            vals, idx = run_tile_topk(
-                jnp.asarray(chunk), jax.random.fold_in(key, lo)
+            vals, idx = _uniwalk_tile_topk(
+                g, jnp.asarray(chunk), jax.random.fold_in(key, lo), **kw
             )
         out_vals[lo:hi] = np.asarray(vals)[:m]
         out_idx[lo:hi] = np.asarray(idx)[:m]

@@ -1,5 +1,7 @@
 """Multi-device tests on the virtual 8-device CPU mesh."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -285,6 +287,67 @@ def test_distributed_topsim_matches_local(small_random):
     )
     denom = sum(len(set(li[r][lv[r] > 0])) for r in range(64))
     assert denom > 0 and hits / denom > 0.5, hits / max(denom, 1)
+
+
+def test_train_sgns_dp_reproduces_single_device(small_random, tmp_path):
+    """The END-TO-END distributed trainer (epochs, subsampling, dynamic
+    windows, LR schedule) must reproduce the single-device trajectory —
+    collectives change nothing but reduction order.  Also exercises
+    checkpoint/resume under the mesh."""
+    from graphtpu.dist.sgns_dp import train_sgns_dp
+    from graphtpu.models.sgns import train_sgns
+    from graphtpu.walks.walker import uniform_walks
+
+    g = small_random
+    cfg = SGNSConfig(dim=16, window=3, negative=4, epochs=2, batch_size=128)
+    starts = jnp.tile(jnp.arange(g.n_nodes, dtype=jnp.int32), 3)
+    walks = uniform_walks(g, starts, 12, jax.random.key(9))
+
+    s0, s1 = train_sgns(np.asarray(walks), g.n_nodes, cfg)
+    mesh = make_mesh(8, model_parallel=2)
+    d0, d1 = train_sgns_dp(np.asarray(walks), g.n_nodes, mesh, cfg)
+    # measured bit-identical on the virtual mesh; allow eps for platforms
+    # where GSPMD reduction order differs
+    np.testing.assert_allclose(d0, s0, atol=1e-6)
+    np.testing.assert_allclose(d1, s1, atol=1e-6)
+
+    # mesh checkpoint/resume: run 2-epoch training WITH periodic
+    # checkpoints, rewind the durable state to a mid-run snapshot, resume
+    # with the same config, and land on the same final tables
+    import shutil
+
+    ck = str(tmp_path / "sgns_dp.ckpt")
+    snap = str(tmp_path / "snap.ckpt")
+    calls = {"n": 0}
+    orig_save = None
+    from graphtpu.models import checkpoint as ckpt_mod
+
+    orig_save = ckpt_mod.save_state
+
+    def snapping_save(path, arrays, step=0, meta=None):
+        orig_save(path, arrays, step=step, meta=meta)
+        calls["n"] += 1
+        if calls["n"] == 1:  # snapshot the FIRST mid-run checkpoint
+            shutil.copy(path, snap)
+
+    ckpt_mod.save_state = snapping_save
+    try:
+        # train_sgns imports save_state lazily from the module, so the
+        # monkeypatch takes effect
+        import graphtpu.models.sgns as sgns_mod
+
+        train_sgns_dp(
+            np.asarray(walks), g.n_nodes, mesh, cfg,
+            checkpoint_path=ck, checkpoint_every=1,
+        )
+    finally:
+        ckpt_mod.save_state = orig_save
+    shutil.copy(snap, ck)  # rewind to mid-run (simulated crash)
+    r0, r1 = train_sgns_dp(
+        np.asarray(walks), g.n_nodes, mesh, cfg,
+        checkpoint_path=ck, checkpoint_every=1,
+    )
+    np.testing.assert_allclose(r0, d0, atol=1e-6)
 
 
 def test_sgns_dp_step_equals_single_device():
