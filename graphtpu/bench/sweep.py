@@ -33,31 +33,55 @@ from graphtpu.utils.logging import Log
 REFERENCE_SAMPLE_GRID = (1000, 2500, 5000, 10000, 20000, 40000)
 
 
-def sim_matrix_to_dict(sim: np.ndarray, k: int) -> Dict:
+def sim_matrix_to_dict(
+    sim: np.ndarray, k: int, sources: Optional[np.ndarray] = None
+) -> Dict:
+    rows = range(sim.shape[0]) if sources is None else sources
     out = {}
-    for v in range(sim.shape[0]):
-        idx = np.argsort(-sim[v])[:k]
-        out[v] = [(int(i), float(sim[v, i])) for i in idx if sim[v, i] > 0]
+    for r, v in enumerate(rows):
+        row = sim[v] if sources is None else sim[r]
+        idx = np.argsort(-row)[:k]
+        out[int(v)] = [(int(i), float(row[i])) for i in idx if row[i] > 0]
     return out
 
 
-def topk_to_dict(vals: np.ndarray, idx: np.ndarray) -> Dict:
+def topk_to_dict(
+    vals: np.ndarray, idx: np.ndarray, sources: Optional[np.ndarray] = None
+) -> Dict:
+    keys = range(vals.shape[0]) if sources is None else sources
     out = {}
-    for v in range(vals.shape[0]):
-        out[v] = [
+    for r, v in enumerate(keys):
+        out[int(v)] = [
             (int(i), float(s))
-            for i, s in zip(idx[v], vals[v])
+            for i, s in zip(idx[r], vals[r])
             if i >= 0 and s > 0
         ]
     return out
 
 
-def gold_standard(g: Graph, iterations: int = 30, k: int = 1000) -> Dict:
+def gold_standard(
+    g: Graph,
+    iterations: int = 30,
+    k: int = 1000,
+    sources: Optional[np.ndarray] = None,
+    impl: str = "dense",
+) -> Dict:
     """The reference gold standard: naive SimRank, 30 iterations, top-1000
     per row (``Test_u_u_TopSim_singleSample.java:17-18``,
-    ``Print.printByOrderAll``)."""
-    sim = np.asarray(exact_simrank(g, SimRankConfig(iterations=iterations)))
-    return sim_matrix_to_dict(sim, k)
+    ``Print.printByOrderAll``).  ``impl="spmm"`` runs the streaming-SpMM
+    form (same fixed point, f32-exact) for graphs past the dense V range;
+    ``sources`` restricts the emitted rows (estimation subset)."""
+    cfg = SimRankConfig(iterations=iterations)
+    if impl == "spmm":
+        from graphtpu.simrank.exact import exact_simrank_spmm
+
+        sim = exact_simrank_spmm(g, cfg)
+    else:
+        sim = exact_simrank(g, cfg)
+    if sources is not None:
+        sim = np.asarray(sim[np.asarray(sources)])
+        return sim_matrix_to_dict(sim, k, sources=np.asarray(sources))
+    return sim_matrix_to_dict(np.asarray(sim), k)
 
 
 @dataclasses.dataclass
@@ -77,15 +101,20 @@ def sweep_uniwalk(
     topk: int = 20,
     log: Optional[Log] = None,
     key=None,
+    sources: Optional[np.ndarray] = None,
+    source_tile: int = 64,
 ) -> List[SweepResult]:
     results = []
     for s in samples:
         t0 = time.time()
         vals, idx = uniwalk_simrank(
-            g, UniWalkConfig(sample=s, step=step, topk=topk), key=key
+            g,
+            UniWalkConfig(sample=s, step=step, topk=topk, source_tile=source_tile),
+            key=key,
+            sources=sources,
         )
         dt = time.time() - t0
-        approx = topk_to_dict(vals, idx)
+        approx = topk_to_dict(vals, idx, sources=sources)
         r = SweepResult(
             "uniwalk", s,
             precision_sim_dicts(gold, approx, k=topk),
@@ -106,15 +135,22 @@ def sweep_topsim(
     topk: int = 20,
     log: Optional[Log] = None,
     key=None,
+    sources: Optional[np.ndarray] = None,
+    source_tile: int = 16,
 ) -> List[SweepResult]:
     results = []
     for s in samples:
         t0 = time.time()
         vals, idx = topsim_simrank(
-            g, TopSimConfig(sample=float(s), step=step, topk=topk), key=key
+            g,
+            TopSimConfig(
+                sample=float(s), step=step, topk=topk, source_tile=source_tile
+            ),
+            key=key,
+            sources=sources,
         )
         dt = time.time() - t0
-        approx = topk_to_dict(vals, idx)
+        approx = topk_to_dict(vals, idx, sources=sources)
         r = SweepResult(
             "topsim_singleSample", s,
             precision_sim_dicts(gold, approx, k=topk),

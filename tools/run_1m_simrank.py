@@ -8,7 +8,11 @@ SAMPLE walks, batched windows; flush + voteToHalt per window).  The run
 deliberately interrupts itself after a few windows and RESUMES from the
 checkpoint to demonstrate the fault-tolerance path at scale.
 
-Usage: python tools/run_1m_simrank.py [V] [avg_deg] [sample] [window]
+Usage: python tools/run_1m_simrank.py [V] [avg_deg] [sample] [window] [budget_s]
+
+``budget_s`` stops CLEANLY between windows (the durable cursor resumes
+next invocation) — killing a TPU client mid-execution crashes the remote
+worker, so the budget must expire before any external timeout.
 """
 
 import json
@@ -35,6 +39,8 @@ def main():
     avg_deg = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     sample = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     window = int(sys.argv[4]) if len(sys.argv) > 4 else 40960
+    budget_s = float(sys.argv[5]) if len(sys.argv) > 5 else 1e9
+    deadline = time.time() + budget_s
     step, topk, tile = 3, 20, 8192
 
     path = f"/tmp/g_{v}_{avg_deg}.txt"
@@ -68,7 +74,12 @@ def main():
     hops_per_tile = tile * sample * 2 * step
     stats = {"windows": 0, "tiles": 0, "wall": 0.0}
 
+    class Budget(Exception):
+        pass
+
     def compute_tile(sources, key):
+        if time.time() > deadline:
+            raise Budget
         n = len(sources)
         out_v = np.zeros((n, topk), np.float32)
         out_i = np.zeros((n, topk), np.int32)
@@ -95,9 +106,12 @@ def main():
 
     # phase 1: first few windows, then stop (simulated failure)
     t0 = time.time()
-    windowed_topk_sweep(
-        compute_tile, min(3 * window, v), out_dir, window=window, key=key
-    )
+    try:
+        windowed_topk_sweep(
+            compute_tile, min(3 * window, v), out_dir, window=window, key=key
+        )
+    except Budget:
+        pass
     cursor = json.load(open(os.path.join(out_dir, "checkpoint.json")))
     print(
         f"phase1: 3 windows in {time.time()-t0:.1f}s "
@@ -107,10 +121,15 @@ def main():
 
     # phase 2: resume from the durable cursor and finish all V sources
     t0 = time.time()
-    windowed_topk_sweep(compute_tile, v, out_dir, window=window, key=key)
-    t2 = time.time() - t0
-    print(f"phase2(resume -> full V): {t2:.1f}s", flush=True)
+    try:
+        windowed_topk_sweep(compute_tile, v, out_dir, window=window, key=key)
+        print(f"phase2(resume -> full V): {time.time()-t0:.1f}s", flush=True)
+    except Budget:
+        cursor = json.load(open(os.path.join(out_dir, "checkpoint.json")))
+        print(f"budget expired cleanly; cursor={cursor}", flush=True)
 
+    if stats["windows"] == 0:
+        return
     hops = stats["tiles"] * hops_per_tile
     print(
         json.dumps(
