@@ -106,13 +106,115 @@ def main():
     value = updates_per_s / 1e9
     log(f"per-iter: {per_iter * 1e3:.1f} ms -> {value:.1f} G pair-updates/s")
 
+    extras = secondary_metrics(g)
+
     result = {
         "metric": "simrank_exact_blog_pair_updates",
         "value": round(value, 2),
         "unit": "Gupdates/s",
         "vs_baseline": round(updates_per_s / JVM_BASELINE_UPDATES_PER_S, 1),
+        "extras": extras,
     }
     print(json.dumps(result))
+
+
+def secondary_metrics(g):
+    """Walks/s (first-order + node2vec 2nd-order) and SGNS step-ms on the
+    same blog graph — the reference's other hot loops
+    (``structures/Graph.java:69-73`` randNeighbor walking,
+    ``node2vec/src/node2vec.py:150-160``, gensim SGNS step).  Reported
+    nested in the single stdout JSON line; the timings use warm
+    executables (compile excluded, logged to stderr)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphtpu.models.sgns import (
+        alias_draw_batch,
+        build_negative_alias,
+        corpus_counts,
+        _gather_batch,
+        sgns_manual_grads,
+    )
+    from graphtpu.walks.node2vec import node2vec_walks
+    from graphtpu.walks.walker import uniform_walks
+
+    extras = {}
+    key = jax.random.key(0)
+    nodes = np.flatnonzero(np.asarray(g.deg) > 0).astype(np.int32)
+
+    def timed(fn, *a, reps=3):
+        out = fn(*a)
+        jax.block_until_ready(out)  # compile + warm
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn(*a)
+            jax.block_until_ready(out)
+            best = min(best, time.time() - t0)
+        return out, best
+
+    # first-order walks: B=65536 walkers, 40 hops each
+    b1, l1 = 65536, 40
+    starts = jnp.asarray(np.random.default_rng(1).choice(nodes, size=b1))
+    t0 = time.time()
+    walk_fn = jax.jit(lambda s, k: uniform_walks(g, s, l1, k))
+    _, dt = timed(walk_fn, starts, key)
+    log(f"uniform walks: compile+run {time.time()-t0:.1f}s, "
+        f"warm {dt*1e3:.0f} ms -> {b1*l1/dt/1e6:.1f} M hops/s")
+    extras["walk_uniform_mhops_per_s"] = round(b1 * l1 / dt / 1e6, 1)
+
+    # node2vec 2nd-order (rejection), p=1 q=2: B=32768, 20 hops
+    b2, l2 = 32768, 20
+    starts2 = jnp.asarray(np.random.default_rng(2).choice(nodes, size=b2))
+    t0 = time.time()
+    n2v_fn = jax.jit(
+        lambda s, k: node2vec_walks(g, s, l2, 1.0, 2.0, k, mode="rejection")
+    )
+    _, dt = timed(n2v_fn, starts2, key)
+    log(f"node2vec walks: compile+run {time.time()-t0:.1f}s, "
+        f"warm {dt*1e3:.0f} ms -> {b2*l2/dt/1e6:.1f} M hops/s")
+    extras["walk_node2vec_mhops_per_s"] = round(b2 * l2 / dt / 1e6, 1)
+
+    # SGNS training step: B=8192 centers, window=10, 5 shared negatives —
+    # the production step body (manual grads + sort-based row aggregation),
+    # scanned x20 inside one executable to amortise dispatch.
+    v = g.n_nodes
+    walks = uniform_walks(g, starts[:8192], 40, key)
+    counts = corpus_counts(walks, v)
+    neg_j, neg_q = build_negative_alias(counts, 0.75)
+    batch, window, neg, nscan = 8192, 10, 5, 20
+
+    @jax.jit
+    def sgns_chunk(params, w, kk):
+        def step(p, k):
+            k_s, k_w, k_n = jax.random.split(k, 3)
+            slots = jax.random.randint(
+                k_s, (batch,), 0, w.shape[0] * w.shape[1]
+            )
+            centers, contexts, mask = _gather_batch(w, slots, window, k_w)
+            negs = alias_draw_batch(neg_j, neg_q, k_n, (batch, neg))
+            (g0, g1), (c0, c1) = sgns_manual_grads(
+                p, centers, contexts, mask, negs, v
+            )
+            s0, s1 = p
+            lr = 0.025
+            return (
+                s0 - lr * g0 / jnp.maximum(c0, 1)[:, None],
+                s1 - lr * g1 / jnp.maximum(c1, 1)[:, None],
+            ), None
+
+        return jax.lax.scan(step, params, jax.random.split(kk, nscan))[0]
+
+    params = (
+        jnp.zeros((v, 128), jnp.float32),
+        jnp.zeros((v, 128), jnp.float32),
+    )
+    t0 = time.time()
+    params, dt = timed(sgns_chunk, params, walks, key)
+    log(f"sgns chunk: compile+run {time.time()-t0:.1f}s, "
+        f"warm {dt/nscan*1e3:.2f} ms/step (B={batch}, W={window}, N={neg})")
+    extras["sgns_step_ms"] = round(dt / nscan * 1e3, 2)
+    return extras
 
 
 if __name__ == "__main__":

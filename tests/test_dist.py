@@ -122,7 +122,7 @@ def test_distributed_uniwalk_matches_exact_ranking(small_random):
     g = small_random
     mesh = make_1d_mesh(8)
     vals, idx = distributed_uniwalk_simrank(
-        g, mesh, UniWalkConfig(sample=1500, step=3, topk=5),
+        g, mesh, UniWalkConfig(sample=6000, step=3, topk=5),
         key=jax.random.key(3),
     )
     assert vals.shape == (64, 5)
@@ -135,7 +135,10 @@ def test_distributed_uniwalk_matches_exact_ranking(small_random):
             continue
         hits += len(ia & ib)
         total += len(ia)
-    assert total > 0 and hits / total > 0.5, hits / max(total, 1)
+    # calibrated: sample=6000 scores ~0.78 on this class of graph, and the
+    # overlap must keep rising with budget (0.65 @ 1.5k -> 0.86 @ 20k);
+    # a half-broken estimator plateaus near coin-flip territory instead.
+    assert total > 0 and hits / total > 0.7, hits / max(total, 1)
 
 
 def test_distributed_uniwalk_reuse_matches_exact_ranking(small_random):
@@ -145,7 +148,7 @@ def test_distributed_uniwalk_reuse_matches_exact_ranking(small_random):
     g = small_random
     mesh = make_1d_mesh(8)
     vals, idx = distributed_uniwalk_simrank_reuse(
-        g, mesh, UniWalkConfig(sample=1600, step=3, topk=5, reuse_times=4),
+        g, mesh, UniWalkConfig(sample=6400, step=3, topk=5, reuse_times=4),
         key=jax.random.key(7),
     )
     assert vals.shape == (64, 5)
@@ -160,7 +163,10 @@ def test_distributed_uniwalk_reuse_matches_exact_ranking(small_random):
         assert r not in ia  # diag zeroed on the owner shard
         hits += len(ia & ib)
         total += len(ia)
-    assert total > 0 and hits / total > 0.5, hits / max(total, 1)
+    # calibrated like the non-reuse test: ~0.79 at this budget, rising
+    # with sample (0.61 @ 1.6k); exact value parity with the dense oracle
+    # is covered separately by test_uniwalk_reuse_topk_matches_dense.
+    assert total > 0 and hits / total > 0.7, hits / max(total, 1)
 
 
 def _medium_random(v=256, e=2048, seed=3):
@@ -276,7 +282,7 @@ def test_distributed_topsim_matches_local(small_random):
 
     g = small_random
     mesh = make_1d_mesh(8)
-    cfg = TopSimConfig(sample=500.0, step=2, topk=5, source_tile=4)
+    cfg = TopSimConfig(sample=2000.0, step=2, topk=5, source_tile=4)
     dv, di = distributed_topsim_simrank(g, mesh, cfg, key=jax.random.key(1))
     assert dv.shape == (64, 5)
     # statistical agreement with the local kernel (different RNG streams):
@@ -286,7 +292,9 @@ def test_distributed_topsim_matches_local(small_random):
         for r in range(64)
     )
     denom = sum(len(set(li[r][lv[r] > 0])) for r in range(64))
-    assert denom > 0 and hits / denom > 0.5, hits / max(denom, 1)
+    # calibrated: 0.66 @ sample=500, 0.82 @ 2000, 0.92 @ 8000 — the two
+    # streams converge on the same ranking as the budget grows.
+    assert denom > 0 and hits / denom > 0.72, hits / max(denom, 1)
 
 
 def test_train_sgns_dp_reproduces_single_device(small_random, tmp_path):
