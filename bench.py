@@ -106,7 +106,18 @@ def main():
     value = updates_per_s / 1e9
     log(f"per-iter: {per_iter * 1e3:.1f} ms -> {value:.1f} G pair-updates/s")
 
-    extras = secondary_metrics(g)
+    # extras must never cost us the headline line (a crashed TPU worker
+    # mid-extras would otherwise abort before the stdout JSON the driver
+    # consumes)
+    try:
+        extras = secondary_metrics(g)
+    except Exception as e:  # pragma: no cover - environment failures
+        log(f"secondary_metrics failed: {e!r}")
+        extras = {}
+    try:
+        extras.update(spmm_metrics())
+    except Exception as e:  # pragma: no cover - environment failures
+        log(f"spmm_metrics failed: {e!r}")
 
     result = {
         "metric": "simrank_exact_blog_pair_updates",
@@ -215,6 +226,41 @@ def secondary_metrics(g):
         f"warm {dt/nscan*1e3:.2f} ms/step (B={batch}, W={window}, N={neg})")
     extras["sgns_step_ms"] = round(dt / nscan * 1e3, 2)
     return extras
+
+
+def spmm_metrics():
+    """Streaming-SpMM SimRank per-iter at arxiv — the bandwidth-bound
+    headline (VERDICT r2 #10): regressions in ``kernels/spmm.py`` must be
+    visible per round.  Effective GB/s counts the kernel's actual DMA
+    traffic: 2 SpMV products/iter, each (E_slots + V) row DMAs of V·4B."""
+    import time
+
+    import graphtpu
+    from graphtpu.core.config import SimRankConfig
+    from graphtpu.simrank.exact import exact_simrank_spmm
+
+    arxiv = "/root/reference/DeepSim/lshrank_data/realdata/arxiv_author_pub.txt"
+    if not os.path.exists(arxiv):
+        return {}
+    g = graphtpu.read_edgelist_graph(arxiv, n_nodes=38912)
+    iters = 10
+    t0 = time.time()
+    s = exact_simrank_spmm(g, SimRankConfig(iterations=iters))
+    s.block_until_ready()
+    log(f"spmm arxiv warmup(compile + {iters} iters): {time.time()-t0:.1f}s")
+    del s  # two live [V,V] f32 iterates would exceed HBM
+    t0 = time.time()
+    s = exact_simrank_spmm(g, SimRankConfig(iterations=iters))
+    s.block_until_ready()
+    per = (time.time() - t0) / iters
+    del s
+    bytes_per_iter = 2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * 4.0
+    log(f"spmm arxiv: {per*1e3:.1f} ms/iter, "
+        f"{bytes_per_iter/per/1e9:.0f} GB/s effective")
+    return {
+        "spmm_arxiv_ms_per_iter": round(per * 1e3, 1),
+        "spmm_arxiv_gbps": round(bytes_per_iter / per / 1e9, 0),
+    }
 
 
 if __name__ == "__main__":

@@ -40,7 +40,13 @@ def sim_matrix_to_dict(
     out = {}
     for r, v in enumerate(rows):
         row = sim[v] if sources is None else sim[r]
-        idx = np.argsort(-row)[:k]
+        if k < row.shape[0]:
+            # argpartition first: full argsort per row over [n_src, V]
+            # dominates gold wall time at arxiv scale (VERDICT r2 weak #2)
+            cand = np.argpartition(-row, k)[:k]
+            idx = cand[np.argsort(-row[cand])]
+        else:
+            idx = np.argsort(-row)[:k]
         out[int(v)] = [(int(i), float(row[i])) for i in idx if row[i] > 0]
     return out
 

@@ -31,7 +31,7 @@ class WalkConfig:
     # 'rejection' scales to any degree; 'exact' builds the full biased
     # categorical over padded neighbour rows (small graphs / parity tests).
     second_order_mode: str = "rejection"
-    max_rejection_trials: int = 24
+    max_rejection_trials: int | None = None  # None: sized from (p, q)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,7 +78,7 @@ def simulate_walks(
     q: float = 1.0,
     weighted: bool = False,
     second_order_mode: str = "rejection",
-    max_trials: int = 24,
+    max_trials: int | None = None,
 ) -> jax.Array:
     """The reference ``simulate_walks`` (node2vec.py:41-59): ``num_walks``
     shuffled passes over all nodes, ``walk_length`` *nodes* per walk

@@ -108,17 +108,20 @@ def test_second_order_transition_statistics(small_random, mode, pq):
         _second_order_step_rejection,
     )
     from graphtpu.core.graph import padded_neighbors
+    from graphtpu.kernels.edgeset import edge_set
 
+    es = edge_set(g)
     prev_a = jnp.full((n,), prev, jnp.int32)
     cur_a = jnp.full((n,), cur, jnp.int32)
     if mode == "exact":
         nbrs, nwts = padded_neighbors(g)
         nxt = _second_order_step_exact(
-            g, nbrs, nwts, prev_a, cur_a, jax.random.key(7), 1 / p, 1 / q
+            g, es, nbrs, nwts, prev_a, cur_a, jax.random.key(7), 1 / p, 1 / q
         )
     else:
         nxt = _second_order_step_rejection(
-            g, None, prev_a, cur_a, jax.random.key(7), 1 / p, 1 / q, 24, False
+            g, None, es, prev_a, cur_a, jax.random.key(7), 1 / p, 1 / q, 24,
+            False,
         )
     nxt = np.asarray(nxt)
     assert (nxt >= 0).all()

@@ -10,7 +10,11 @@ score is estimated over a fixed random subset of sources (default 2048)
 instead of every vertex — the estimate's standard error is ~1/sqrt(2048)
 ≈ 2%, and the full-V sweep would cost ~90 min of chip time.
 
-Usage: python tools/run_sweeps.py [n_sources] [out.jsonl]
+Usage: python tools/run_sweeps.py [n_sources] [out.jsonl] [dataset ...]
+
+Resumable: (dataset, algorithm, sample) records already present in
+``out.jsonl`` are skipped, so an interrupted sweep continues where it
+left off (the windowed-job pattern, ``BatchSingleWalkVertex.java:108-133``).
 """
 
 import dataclasses
@@ -54,10 +58,39 @@ def main():
     )
 
     n_src = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sweeps.jsonl"
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "results", "sweeps_r3.jsonl")
+    )
+    want = set(sys.argv[3:]) or set(DATASETS)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+
+    done = set()
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    done.add((r["dataset"], r["algorithm"], float(r["sample"])))
+                except Exception:
+                    pass
     out = open(out_path, "a")
 
     for name, (path, n_nodes, gold_impl) in DATASETS.items():
+        if name not in want:
+            continue
+        need = [
+            s for s in REFERENCE_SAMPLE_GRID
+            if any(
+                (name, alg, float(s)) not in done
+                for alg in ("uniwalk", "topsim_singleSample")
+            )
+        ]
+        if not need:
+            print(f"{name}: complete, skipping", flush=True)
+            continue
         g = graphtpu.read_edgelist_graph(path, n_nodes=n_nodes)
         rng = np.random.default_rng(0)
         ns = min(n_src, g.n_nodes)
@@ -72,14 +105,19 @@ def main():
             flush=True,
         )
         for engine, fn in [("uniwalk", sweep_uniwalk), ("topsim", sweep_topsim)]:
-            for r in fn(
-                g, gold, samples=REFERENCE_SAMPLE_GRID,
-                key=jax.random.key(11), sources=sources,
-            ):
-                rec = {"dataset": name, **dataclasses.asdict(r)}
-                print(json.dumps(rec), flush=True)
-                out.write(json.dumps(rec) + "\n")
-                out.flush()
+            alg = "uniwalk" if engine == "uniwalk" else "topsim_singleSample"
+            for s in REFERENCE_SAMPLE_GRID:
+                if (name, alg, float(s)) in done:
+                    print(f"{name}/{alg}/{s}: done, skipping", flush=True)
+                    continue
+                for r in fn(
+                    g, gold, samples=[s],
+                    key=jax.random.key(11), sources=sources,
+                ):
+                    rec = {"dataset": name, **dataclasses.asdict(r)}
+                    print(json.dumps(rec), flush=True)
+                    out.write(json.dumps(rec) + "\n")
+                    out.flush()
     out.close()
 
 
