@@ -384,3 +384,62 @@ def test_sgns_dp_step_equals_single_device():
     want1 = p1 - 0.05 * g1 / jnp.maximum(c1, 1)[:, None]
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(want1), atol=1e-5)
+
+
+def test_sharded_topsim_matches_dense_deterministic(small_random):
+    """Partitioned-graph TopSim == single-chip TopSim in the deterministic
+    regime (mass >= degree everywhere -> every expansion is an even split,
+    no sampling), so the owner-exchange routing must reproduce the local
+    kernel's mass propagation exactly (VERDICT r2 #3)."""
+    from graphtpu.core.config import TopSimConfig
+    from graphtpu.dist.sharded_graph import shard_graph
+    from graphtpu.dist.topsim_dist import distributed_topsim_simrank
+    from graphtpu.simrank.topsim import topsim_simrank
+
+    # sparse graph (deg ~ 3) so the full deterministic split tree fits both
+    # the local tile and the per-device exchange buckets with no drops
+    rng = np.random.default_rng(8)
+    edges = rng.integers(0, 64, size=(100, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    edges = np.concatenate(
+        [edges, np.stack([np.arange(64), (np.arange(64) + 1) % 64], 1)]
+    )
+    g = graphtpu.build_graph(edges, n_nodes=64)
+    mesh = make_1d_mesh(8)
+    sg = shard_graph(g, 8, mesh=mesh)
+    cfg = TopSimConfig(
+        sample=1e6, step=2, topk=64, source_tile=8, frontier_capacity=16384
+    )
+    dv, di = distributed_topsim_simrank(
+        sg, mesh, cfg, key=jax.random.key(1), device_capacity=65536
+    )
+    dense = np.asarray(
+        topsim_simrank(g, cfg, key=jax.random.key(2), dense=True)
+    )
+    got = np.zeros_like(dense)
+    for r in range(64):
+        for v, i in zip(dv[r], di[r]):
+            if i >= 0:
+                got[r, i] = v
+    np.testing.assert_allclose(got, dense, rtol=2e-3, atol=2e-6)
+
+
+def test_sharded_topsim_statistical(small_random):
+    """Sampled regime: partitioned TopSim agrees with the local kernel's
+    ranking statistically (independent RNG streams)."""
+    from graphtpu.core.config import TopSimConfig
+    from graphtpu.dist.sharded_graph import shard_graph
+    from graphtpu.dist.topsim_dist import distributed_topsim_simrank
+    from graphtpu.simrank.topsim import topsim_simrank
+
+    g = small_random
+    mesh = make_1d_mesh(8)
+    sg = shard_graph(g, 8, mesh=mesh)
+    cfg = TopSimConfig(sample=2000.0, step=2, topk=5, source_tile=4)
+    dv, di = distributed_topsim_simrank(sg, mesh, cfg, key=jax.random.key(1))
+    lv, li = topsim_simrank(g, cfg, key=jax.random.key(2))
+    hits = sum(
+        len(set(di[r][dv[r] > 0]) & set(li[r][lv[r] > 0])) for r in range(64)
+    )
+    denom = sum(len(set(li[r][lv[r] > 0])) for r in range(64))
+    assert denom > 0 and hits / denom > 0.72, hits / max(denom, 1)
