@@ -1,10 +1,15 @@
-"""Sharded exact SimRank — S row-sharded over the mesh.
+"""Sharded DENSE exact SimRank — S row-sharded, W replicated.
 
 S' = C * W S W^T with S sharded PartitionSpec('data', None) and W
 replicated: XLA splits the matmuls per shard and rides ICI for the
-contractions (reduce-scatter / all-gather as needed).  This is the
-scale-out form of the reference's gold-standard computation — the 14-worker
-Giraph cluster's role (``BASELINE.md``), played by a TPU pod slice.
+contractions (reduce-scatter / all-gather as needed).  NOTE the memory
+profile: the dense [V, V] W is replicated on every device, so this form
+is a GSPMD collectives demo for MXU-bound small-V graphs only.  The
+production scale-out of the reference's gold-standard computation (the
+14-worker Giraph cluster's role) is
+:func:`graphtpu.dist.spmm_sharded.sharded_simrank_spmm`, which shards
+both S (O(V²/n_dev)) and P (O(E/n_dev)) and communicates only ring
+block rotations.
 """
 
 from __future__ import annotations

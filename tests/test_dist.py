@@ -443,3 +443,38 @@ def test_sharded_topsim_statistical(small_random):
     )
     denom = sum(len(set(li[r][lv[r] > 0])) for r in range(64))
     assert denom > 0 and hits / denom > 0.72, hits / max(denom, 1)
+
+
+def test_sharded_spmm_simrank_matches_single_device(small_random):
+    """Fully-partitioned sparse SimRank (S column-sharded, P row-sharded,
+    ring-rotation products) == the single-device SpMM and dense forms
+    (VERDICT r2 #4)."""
+    from graphtpu.dist.spmm_sharded import (
+        build_sharded_tree_plan,
+        sharded_simrank_spmm,
+    )
+    from graphtpu.simrank.exact import exact_simrank_spmm
+
+    g = small_random
+    mesh = make_1d_mesh(8)
+    cfg = SimRankConfig(iterations=4)
+    got = np.asarray(sharded_simrank_spmm(g, mesh, cfg))
+    want = np.asarray(exact_simrank_spmm(g, cfg, impl="xla"))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    dense = np.asarray(exact_simrank(g, SimRankConfig(iterations=4)))
+    np.testing.assert_allclose(got, dense, atol=1e-5)
+
+
+def test_sharded_spmm_plan_memory_profile():
+    """Each device's plan block must hold only ~E/n_dev level-0 slots and
+    the stacked plan must be physically distributed."""
+    from graphtpu.dist.spmm_sharded import build_sharded_tree_plan
+
+    g = _medium_random(v=1024, e=8192)
+    mesh = make_1d_mesh(8)
+    plan = build_sharded_tree_plan(g, 8, mesh=mesh)
+    lvl0 = plan.levels[0]
+    # level-0 slots per device ~ E/n_dev (x width padding), far below E
+    assert lvl0.shape[1] * lvl0.shape[2] < g.n_edges, (
+        lvl0.shape, g.n_edges)
+    assert len(lvl0.sharding.device_set) == 8
