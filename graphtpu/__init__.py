@@ -19,6 +19,19 @@ Layout (mirrors SURVEY.md §7):
 
 __version__ = "0.1.0"
 
-from graphtpu.core.graph import Graph, DiGraph, build_graph, read_edgelist_graph
+from graphtpu.core.graph import (
+    Graph,
+    DiGraph,
+    build_graph,
+    load_graph_cached,
+    read_edgelist_graph,
+)
 
-__all__ = ["Graph", "DiGraph", "build_graph", "read_edgelist_graph", "__version__"]
+__all__ = [
+    "Graph",
+    "DiGraph",
+    "build_graph",
+    "load_graph_cached",
+    "read_edgelist_graph",
+    "__version__",
+]

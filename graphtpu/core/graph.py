@@ -20,6 +20,7 @@ passed through ``jax.jit`` freely.  Construction happens host-side in numpy.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -223,6 +224,36 @@ def read_edgelist_graph(
     if not weighted:
         wts = None
     return build_graph(edges, wts, n_nodes=n_nodes, directed=directed, dedup=dedup)
+
+
+def load_graph_cached(
+    path: str,
+    n_nodes: Optional[int] = None,
+    weighted: bool = False,
+    delimiter: Optional[str] = None,
+) -> Graph:
+    """read_edgelist_graph with a CSR ``.csr.npz`` sidecar cache.
+
+    First touch parses (native C++ tokenizer) and lexsorts the edge list
+    — minutes at the reference's 10M-vertex scale — then persists the
+    finished CSR; later touches memory-map-load in seconds.  The cache is
+    invalidated when the edge file is newer."""
+    npz = path + ".csr.npz"
+    if os.path.exists(npz) and os.path.getmtime(npz) >= os.path.getmtime(path):
+        z = np.load(npz)
+        w = z["weight"] if "weight" in z.files else None
+        return _finish_graph(z["row_ptr"], z["col"], w, z["deg"])
+    g = read_edgelist_graph(
+        path, delimiter=delimiter, weighted=weighted, n_nodes=n_nodes
+    )
+    rp, col, w, deg = host_csr(g)
+    arrs = dict(row_ptr=np.asarray(rp), col=np.asarray(col), deg=np.asarray(deg))
+    if w is not None:
+        arrs["weight"] = np.asarray(w)
+    tmp = npz + ".tmp.npz"
+    np.savez(tmp, **arrs)
+    os.replace(tmp, npz)
+    return g
 
 
 def pad_graph_nodes(g: Graph, n_nodes: int) -> Graph:

@@ -25,7 +25,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from graphtpu.core.graph import Graph
-from graphtpu.kernels.sampling import uniform_neighbor
+from graphtpu.kernels.sampling import (
+    row_cumulative_weights,
+    uniform_neighbor,
+    weighted_neighbor,
+)
 
 
 def _pack_buckets(
@@ -86,6 +90,7 @@ def distributed_uniform_walks(
     key: jax.Array,
     mesh: Mesh,
     starts: Optional[jax.Array] = None,
+    weighted: bool = False,
 ) -> jax.Array:
     """[n_walkers, num_steps+1] walk tensor via per-superstep all_to_all.
 
@@ -147,7 +152,9 @@ def distributed_uniform_walks(
         walks, _ = jax.lax.fori_loop(0, num_steps, step, (walks, kdev))
         return walks
 
+    use_w = weighted and g.weight is not None
     if sharded:
+        w_spec = (P(axis, None),) if use_w else ()
 
         @partial(
             shard_map,
@@ -159,20 +166,31 @@ def distributed_uniform_walks(
                 P(axis, None),
                 P(axis, None),
                 P(axis, None),
-            ),
+            ) + w_spec,
             out_specs=P(axis),
         )
-        def run_sharded(starts_l, wid_l, key_r, rp_b, col_b, deg_b):
-            g_loc = local_graph(rp_b, col_b, deg_b, g.max_degree)
+        def run_sharded(starts_l, wid_l, key_r, rp_b, col_b, deg_b, *w_b):
+            g_loc = local_graph(
+                rp_b, col_b, deg_b, g.max_degree,
+                weight_blk=w_b[0] if w_b else None,
+            )
+            cumw = row_cumulative_weights(g_loc) if use_w else None
 
             def sample(me, r_cur, ks):
                 # owner-local ids: every routed walker's node is ours
                 loc = jnp.where(r_cur >= 0, r_cur - me * nodes_per_dev, -1)
+                if use_w:
+                    return weighted_neighbor(g_loc, cumw, loc, ks)
                 return uniform_neighbor(g_loc, loc, ks)
 
             return loop(starts_l, wid_l, key_r, sample)
 
-        return run_sharded(starts, wid, jnp.stack([key]), g.row_ptr, g.col, g.deg)
+        args = (starts, wid, jnp.stack([key]), g.row_ptr, g.col, g.deg)
+        if use_w:
+            args += (g.weight,)
+        return run_sharded(*args)
+
+    cumw_g = row_cumulative_weights(g) if use_w else None
 
     @partial(
         shard_map,
@@ -182,6 +200,8 @@ def distributed_uniform_walks(
     )
     def run(starts_l, wid_l, key_r):
         def sample(me, r_cur, ks):
+            if use_w:
+                return weighted_neighbor(g, cumw_g, r_cur, ks)
             return uniform_neighbor(g, r_cur, ks)
 
         return loop(starts_l, wid_l, key_r, sample)

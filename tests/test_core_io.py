@@ -120,3 +120,26 @@ def test_reads_reference_karate_emb():
 def test_karate_graph(karate):
     assert karate.n_nodes == 35
     assert karate.degree(34) == 0 or karate.degree(34) >= 0  # node 0 unused; ids 1..34
+
+
+def test_load_graph_cached_roundtrip(tmp_path):
+    import graphtpu
+    import numpy as np
+
+    p = str(tmp_path / "g.txt")
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, 50, size=(120, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    with open(p, "w") as f:
+        for a, b in edges:
+            f.write(f"{a} {b}\n")
+    g1 = graphtpu.load_graph_cached(p, n_nodes=50)
+    import os
+
+    assert os.path.exists(p + ".csr.npz")
+    g2 = graphtpu.load_graph_cached(p, n_nodes=50)  # cache hit
+    np.testing.assert_array_equal(np.asarray(g1.col), np.asarray(g2.col))
+    np.testing.assert_array_equal(
+        np.asarray(g1.row_ptr), np.asarray(g2.row_ptr)
+    )
+    assert g1.max_degree == g2.max_degree

@@ -478,3 +478,102 @@ def test_sharded_spmm_plan_memory_profile():
     assert lvl0.shape[1] * lvl0.shape[2] < g.n_edges, (
         lvl0.shape, g.n_edges)
     assert len(lvl0.sharding.device_set) == 8
+
+
+def test_distributed_node2vec_transition_parity():
+    """Distributed second-order walks from a single start: the joint
+    (hop1, hop2) distribution must match P_uniform(c1 | s0) x
+    P_2nd(c2 | s0, c1) from the reference bias oracle (VERDICT r2 #7)."""
+    from graphtpu.dist.node2vec_dist import distributed_node2vec_walks
+    from graphtpu.dist.sharded_graph import shard_graph
+    from graphtpu.walks.node2vec import node2vec_transition_probs
+
+    rng = np.random.default_rng(4)
+    edges = rng.integers(0, 48, size=(220, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    edges = np.concatenate(
+        [edges, np.stack([np.arange(48), (np.arange(48) + 1) % 48], 1)]
+    )
+    g = graphtpu.build_graph(edges, n_nodes=48)
+    mesh = make_1d_mesh(8)
+    sg = shard_graph(g, 8, mesh=mesh)
+
+    s0 = int(np.argmax(np.asarray(g.deg)))
+    p, q = 0.25, 2.0
+    n = 16384
+    w = np.asarray(
+        distributed_node2vec_walks(
+            sg, n, 2, p, q, jax.random.key(5), mesh,
+            starts=jnp.full((n,), s0, jnp.int32),
+        )
+    )
+    assert (w >= 0).all()
+    v = g.n_nodes
+    emp = np.zeros((v, v))
+    np.add.at(emp, (w[:, 1], w[:, 2]), 1.0)
+    emp /= n
+    want = np.zeros((v, v))
+    nbrs = np.asarray(g.col)[
+        np.asarray(g.row_ptr)[s0] : np.asarray(g.row_ptr)[s0 + 1]
+    ]
+    for c1 in nbrs:
+        want[c1] = node2vec_transition_probs(g, s0, int(c1), p, q) / len(nbrs)
+    tv = 0.5 * np.abs(emp - want).sum()
+    assert tv < 0.12, tv
+
+
+def test_distributed_weighted_walks_shard_equals_replicated():
+    """Weighted sampling through the partitioned walker must reproduce the
+    replicated path exactly under the same key (integer weights keep the
+    per-row cumulative sums fp-exact)."""
+    rng = np.random.default_rng(9)
+    edges = rng.integers(0, 64, size=(300, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    edges = np.concatenate(
+        [edges, np.stack([np.arange(64), (np.arange(64) + 1) % 64], 1)]
+    )
+    wts = rng.integers(1, 5, size=len(edges)).astype(np.float32)
+    g = graphtpu.build_graph(edges, weights=wts, n_nodes=64)
+    mesh = make_1d_mesh(8)
+    from graphtpu.dist.sharded_graph import shard_graph
+
+    sg = shard_graph(g, 8, mesh=mesh)
+    a = np.asarray(distributed_uniform_walks(
+        g, 64, 6, jax.random.key(11), mesh, weighted=True
+    ))
+    b = np.asarray(distributed_uniform_walks(
+        sg, 64, 6, jax.random.key(11), mesh, weighted=True
+    ))
+    np.testing.assert_array_equal(a, b)
+    # weights actually bias the draws: zero-weight edges never taken is
+    # covered by sampling tests; here assert walks are valid edges
+    rp, col = np.asarray(g.row_ptr), np.asarray(g.col)
+    for r in range(64):
+        for t_ in range(6):
+            u, x = b[r, t_], b[r, t_ + 1]
+            if x < 0:
+                continue
+            assert x in col[rp[u] : rp[u + 1]]
+
+
+def test_distributed_sgns_trains_on_node2vec_walks(small_random):
+    """End-to-end: partitioned-graph second-order walks feed the
+    data-parallel SGNS trainer (the reference's full node2vec pipeline,
+    distributed — VERDICT r2 #7 acceptance)."""
+    from graphtpu.dist.node2vec_dist import distributed_node2vec_walks
+    from graphtpu.dist.sgns_dp import train_sgns_dp
+    from graphtpu.dist.sharded_graph import shard_graph
+
+    g = small_random
+    mesh = make_1d_mesh(8)
+    sg = shard_graph(g, 8, mesh=mesh)
+    walks = distributed_node2vec_walks(
+        sg, 128, 10, 0.25, 4.0, jax.random.key(2), mesh,
+        starts=jnp.asarray(
+            np.tile(np.arange(64, dtype=np.int32), 2)
+        ),
+    )
+    cfg = SGNSConfig(dim=16, window=2, negative=2, epochs=1, batch_size=64)
+    syn0, syn1 = train_sgns_dp(walks, 64, mesh, cfg, key=jax.random.key(3))
+    assert syn0.shape == (64, 16) and np.isfinite(np.asarray(syn0)).all()
+    assert not np.allclose(np.asarray(syn0), 0)

@@ -51,18 +51,7 @@ def main():
         )
         print(f"generated {n} edges in {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
-    npz = path + ".csr.npz"
-    if os.path.exists(npz):
-        from graphtpu.core.graph import Graph, _finish_graph
-
-        z = np.load(npz)
-        g = _finish_graph(z["row_ptr"], z["col"], None, z["deg"])
-    else:
-        g = graphtpu.read_edgelist_graph(path, n_nodes=v)
-        from graphtpu.core.graph import host_csr
-
-        rp, col, _, deg = host_csr(g)
-        np.savez(npz, row_ptr=rp, col=col, deg=deg)
+    g = graphtpu.load_graph_cached(path, n_nodes=v)
     print(
         f"graph: V={g.n_nodes} slots={g.n_edges} max_deg={g.max_degree} "
         f"load={time.time()-t0:.1f}s",
