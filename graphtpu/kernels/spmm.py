@@ -168,8 +168,8 @@ def build_reduction_tree(
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["slots", "wts", "pos"],
-    meta_fields=["n_nodes", "n_items", "block_items"],
+    data_fields=["slots", "wts", "pos", "raw_wts", "scales"],
+    meta_fields=["n_nodes", "n_items", "block_items", "uniform"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpmvStream:
@@ -184,12 +184,15 @@ class SpmvStream:
     items on the last row.
     """
 
-    slots: jax.Array   # int32[T]
-    wts: jax.Array     # float32[T]
-    pos: jax.Array     # int32[T]
+    slots: jax.Array    # int32[T]
+    wts: jax.Array      # float32[T]: edge weight x 1/Σw (folded)
+    pos: jax.Array      # int32[T]
+    raw_wts: jax.Array  # float32[T]: edge weight only (1 when unweighted)
+    scales: jax.Array   # float32[T]: the item's OUTPUT-row 1/Σw
     n_nodes: int
     n_items: int
     block_items: int
+    uniform: bool       # all raw weights == 1 (skip per-item multiply)
 
 
 def build_spmv_stream(
@@ -224,18 +227,30 @@ def build_spmv_stream(
     wts[real] = (wsrc * scale.astype(np.float32)[np.repeat(np.arange(v), d)])[
         rp[pos[real]] + e_idx[real]
     ]
+    raw = np.zeros(t_real, np.float32)
+    raw[real] = wsrc[rp[pos[real]] + e_idx[real]]
+    scales = scale.astype(np.float32)[pos]
     pad = (-t_real) % block_items
     if pad:
+        # pad items run in a dedicated dummy row v (zero scale), so modes
+        # that skip the per-item weight multiply stay uncontaminated; the
+        # kernel writes v+1 rows and the caller trims
         slots = np.concatenate([slots, np.zeros(pad, np.int64)])
         wts = np.concatenate([wts, np.zeros(pad, np.float32)])
-        pos = np.concatenate([pos, np.full(pad, v - 1, np.int32)])
+        raw = np.concatenate([raw, np.zeros(pad, np.float32)])
+        scales = np.concatenate([scales, np.zeros(pad, np.float32)])
+        pos = np.concatenate([pos, np.full(pad, v, np.int32)])
+    uniform = bool(np.all(wsrc == 1.0))
     return SpmvStream(
         slots=jnp.asarray(slots.astype(np.int32)),
         wts=jnp.asarray(wts),
         pos=jnp.asarray(pos),
+        raw_wts=jnp.asarray(raw),
+        scales=jnp.asarray(scales),
         n_nodes=v,
         n_items=t_real,
         block_items=block_items,
+        uniform=uniform,
     )
 
 
@@ -348,16 +363,132 @@ def _spmv_kernel(
             state[2 + nz] = 0
 
 
+def _spmv_kernel_fast(
+    c, nbuf, weighted, slots_ref, wts_ref, pos_ref, scl_ref, table_ref,
+    out_ref, buf, acc, rd_sems, wr_sems, state, fstate
+):
+    """Streaming CSR SpMV, throughput variant: plain f32 run accumulation
+    with the 1/Σw row scale applied ONCE at row flush (a per-ROW VPU pass
+    instead of Kahan's four extra per-ITEM passes).  Unweighted streams
+    skip the per-item multiply entirely.  Row-sum error is the naive-sum
+    bound O(d)·eps — use the Kahan kernel for gold-standard runs.
+
+    state (SMEM int32[4]): [current_row, active_zone, pending_wr0,
+    pending_wr1]; fstate (SMEM f32[2]): per-zone row scale.
+    acc (VMEM float32[2*c]): two plain zones.
+    """
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tb = slots_ref.shape[0]
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        state[0] = -1
+        state[1] = 0
+        state[2] = 0
+        state[3] = 0
+        fstate[0] = 0.0
+        fstate[1] = 0.0
+
+    def rd_dma(t):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(slots_ref[t] * c, c)],
+            buf.at[pl.ds((t % nbuf) * c, c)],
+            rd_sems.at[t % nbuf],
+        )
+
+    for t in range(nbuf):  # warmup (tb >= nbuf)
+        rd_dma(t).start()
+
+    def wr_dma(zone, row):
+        return pltpu.make_async_copy(
+            acc.at[pl.ds(zone * c, c)],
+            out_ref.at[pl.ds(row * c, c)],
+            wr_sems.at[zone],
+        )
+
+    def flush(zone, row):
+        acc[pl.ds(zone * c, c)] = acc[pl.ds(zone * c, c)] * fstate[zone]
+        wr_dma(zone, row).start()
+        state[2 + zone] = 1
+
+    def body(t, _):
+        row_pos = pos_ref[t]
+        prev = state[0]
+        zone = state[1]
+        is_new = row_pos != prev
+
+        @pl.when(is_new)
+        def _():
+            @pl.when(prev >= 0)
+            def _():
+                flush(zone, prev)
+
+            nz = 1 - zone
+
+            @pl.when(state[2 + nz] == 1)
+            def _():
+                wr_dma(nz, 0).wait()  # sem identity is what matters
+                state[2 + nz] = 0
+
+            state[0] = row_pos
+            state[1] = nz
+            fstate[nz] = scl_ref[t]
+
+        z = state[1]
+        rd_dma(t).wait()
+        if weighted:
+            row = buf[pl.ds((t % nbuf) * c, c)] * wts_ref[t]
+        else:
+            row = buf[pl.ds((t % nbuf) * c, c)]
+
+        @pl.when(is_new)
+        def _():
+            acc[pl.ds(z * c, c)] = row
+
+        @pl.when(jnp.logical_not(is_new))
+        def _():
+            acc[pl.ds(z * c, c)] = acc[pl.ds(z * c, c)] + row
+
+        @pl.when(t + nbuf < tb)
+        def _():
+            rd_dma(t + nbuf).start()
+
+        return 0
+
+    lax.fori_loop(0, tb, body, 0)
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        zone = state[1]
+        flush(zone, state[0])
+        wr_dma(zone, 0).wait()
+        nz = 1 - zone
+
+        @pl.when(state[2 + nz] == 1)
+        def _():
+            wr_dma(nz, 0).wait()
+            state[2 + nz] = 0
+
+
 def spmv_pallas(
     stream: SpmvStream,
     x: jax.Array,
     nbuf: int = 16,
     interpret: bool = False,
+    mode: str = "kahan",
 ) -> jax.Array:
     """P @ x via the streaming kernel: [V, C] -> [V, C], C % 1024 == 0.
 
-    DMA traffic is exactly (E + isolated) row reads + V row writes — no
-    padding waste, any degree distribution, one pass.
+    DMA traffic is exactly (E + isolated) row reads + (V+1) row writes —
+    no padding waste, any degree distribution, one pass.  ``mode``:
+    "kahan" (exact-f32 compensated row sums, the gold path) or "fast"
+    (plain run sums + flush-time row scaling — fewer VPU/VMEM passes per
+    item, naive-sum O(d)·eps row error).
     """
     import functools as _ft
 
@@ -370,16 +501,37 @@ def spmv_pallas(
     tb = stream.block_items
     t_total = stream.slots.shape[0]
     grid = (t_total // tb,)
+    smem = lambda: pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM)
+    if mode == "fast":
+        kernel = pl.pallas_call(
+            _ft.partial(_spmv_kernel_fast, c, nbuf, not stream.uniform),
+            out_shape=jax.ShapeDtypeStruct(((v + 1) * c,), x.dtype),
+            grid=grid,
+            in_specs=[smem(), smem(), smem(), smem(),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf * c,), x.dtype),
+                pltpu.VMEM((2 * c,), jnp.float32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((4,), jnp.int32),
+                pltpu.SMEM((2,), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )
+        out = kernel(
+            stream.slots, stream.raw_wts, stream.pos, stream.scales,
+            x.reshape(-1),
+        )
+        return out.reshape(v + 1, c)[:v]
     kernel = pl.pallas_call(
         _ft.partial(_spmv_kernel, c, nbuf),
-        out_shape=jax.ShapeDtypeStruct((v * c,), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(((v + 1) * c,), x.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[smem(), smem(), smem(),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((nbuf * c,), x.dtype),
@@ -391,9 +543,8 @@ def spmv_pallas(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
-    return kernel(stream.slots, stream.wts, stream.pos, x.reshape(-1)).reshape(
-        v, c
-    )
+    out = kernel(stream.slots, stream.wts, stream.pos, x.reshape(-1))
+    return out.reshape(v + 1, c)[:v]
 
 
 def spmv_stream_xla(stream: SpmvStream, x: jax.Array) -> jax.Array:

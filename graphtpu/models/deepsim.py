@@ -155,8 +155,34 @@ def train_deepsim(
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i + 1))
-        if checkpoint_every and i % checkpoint_every == 0 and checkpoint_fn:
-            checkpoint_fn(i, np.asarray(params[0]))
+    # chunk the step loop into one scanned executable per CHUNK steps:
+    # per-op dispatch over the tunnel would dominate a 50k-iter at-budget
+    # run, and single executions must stay under a few seconds (CLAUDE.md)
+    chunk = max(1, min(checkpoint_every or 200, 200))
+
+    @partial(jax.jit, static_argnums=(3,))
+    def run_chunk(params, opt_state, start, m):
+        def body(carry, i):
+            p, o = carry
+            p, o, loss = step(p, o, jax.random.fold_in(key, i + 1))
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), start + jnp.arange(m)
+        )
+        return params, opt_state, losses[-1]
+
+    i = 0
+    while i < steps:
+        m = min(chunk, steps - i)
+        params, opt_state, loss = run_chunk(
+            params, opt_state, jnp.int32(i), m
+        )
+        if (
+            checkpoint_every
+            and checkpoint_fn
+            and (i // checkpoint_every) != ((i + m) // checkpoint_every)
+        ):
+            checkpoint_fn(i + m - 1, np.asarray(params[0]))
+        i += m
     return np.asarray(params[0])

@@ -92,6 +92,7 @@ def exact_simrank_spmm(
     width: int = 8,
     col_block: int = 4096,
     impl: str = "auto",
+    spmv_mode: str = "kahan",
 ) -> jax.Array:
     """Exact SimRank with SPARSE P·S / (P·Sᵀ) products (diag zeroed).
 
@@ -132,7 +133,7 @@ def exact_simrank_spmm(
         plan = build_spmv_stream(g, weighted=weighted)
 
         def mul(p, x):
-            return spmv_pallas(p, x)
+            return spmv_pallas(p, x, mode=spmv_mode)
 
     else:
         v = v_real

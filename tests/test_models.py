@@ -122,7 +122,10 @@ def test_deepsim_trains(small_random):
         checkpoint_every=30, checkpoint_fn=lambda i, e: seen.append(i),
     )
     assert emb.shape == (g.n_nodes, 16)
-    assert seen == [0, 30]
+    # scanned chunks checkpoint at every checkpoint_every boundary with the
+    # last completed step index (reference dumps every 1000 iters,
+    # DeepSim.py:182-186)
+    assert seen == [29, 59]
     assert np.isfinite(emb).all()
 
 

@@ -92,20 +92,39 @@ def test_spmv_stream_plan_matches_oracle(weighted):
     assert np.all(got[g.n_nodes - 1] == 0)  # isolated node -> zero row
 
 
-def test_spmv_pallas_streaming_interpret():
-    """The streaming kernel (ring DMAs + Kahan runs + row flush DMAs) must
-    match the oracle, including rows spanning item blocks, isolated rows,
-    and the final-flush path."""
+@pytest.mark.parametrize("mode", ["kahan", "fast"])
+def test_spmv_pallas_streaming_interpret(mode):
+    """The streaming kernels (ring DMAs + run accumulation + row flush
+    DMAs) must match the oracle, including rows spanning item blocks,
+    isolated rows, and the final-flush path."""
     from graphtpu.kernels.spmm import build_spmv_stream, spmv_pallas
 
     g = _graph(v=40, e=300, hub=True)  # hub row spans many 16-item blocks
     stream = build_spmv_stream(g, block_items=16)
     rng = np.random.default_rng(5)
     x = rng.random((g.n_nodes, 1024)).astype(np.float32)
-    got = np.asarray(spmv_pallas(stream, jnp.asarray(x), interpret=True))
+    got = np.asarray(
+        spmv_pallas(stream, jnp.asarray(x), interpret=True, mode=mode)
+    )
     want = spmm_oracle(g, x)
     np.testing.assert_allclose(got, want, atol=1e-5)
     assert np.all(got[g.n_nodes - 1] == 0)
+
+
+@pytest.mark.parametrize("mode", ["kahan", "fast"])
+def test_spmv_pallas_weighted_interpret(mode):
+    from graphtpu.kernels.spmm import build_spmv_stream, spmv_pallas
+
+    g = _graph(v=36, e=200, weighted=True)
+    stream = build_spmv_stream(g, weighted=True, block_items=16)
+    assert not stream.uniform
+    rng = np.random.default_rng(7)
+    x = rng.random((g.n_nodes, 1024)).astype(np.float32)
+    got = np.asarray(
+        spmv_pallas(stream, jnp.asarray(x), interpret=True, mode=mode)
+    )
+    want = spmm_oracle(g, x, weighted=True)
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 @pytest.mark.parametrize("weighted", [False, True])
