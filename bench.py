@@ -174,14 +174,21 @@ def secondary_metrics(g):
         f"warm {dt*1e3:.0f} ms -> {b1*l1/dt/1e6:.1f} M hops/s")
     extras["walk_uniform_mhops_per_s"] = round(b1 * l1 / dt / 1e6, 1)
 
-    # node2vec 2nd-order (rejection), p=1 q=2: B=32768, 20 hops
+    # node2vec 2nd-order (rejection), p=1 q=2: B=32768, 20 hops.  The
+    # edge set rides as a jit ARGUMENT (device-resident; closure capture
+    # would re-embed the table per executable)
+    from graphtpu.kernels.edgeset import device_edge_set
+
     b2, l2 = 32768, 20
     starts2 = jnp.asarray(np.random.default_rng(2).choice(nodes, size=b2))
+    es = device_edge_set(g)
     t0 = time.time()
     n2v_fn = jax.jit(
-        lambda s, k: node2vec_walks(g, s, l2, 1.0, 2.0, k, mode="rejection")
+        lambda s, k, e: node2vec_walks(
+            g, s, l2, 1.0, 2.0, k, mode="rejection", eset=e
+        )
     )
-    _, dt = timed(n2v_fn, starts2, key)
+    _, dt = timed(n2v_fn, starts2, key, es)
     log(f"node2vec walks: compile+run {time.time()-t0:.1f}s, "
         f"warm {dt*1e3:.0f} ms -> {b2*l2/dt/1e6:.1f} M hops/s")
     extras["walk_node2vec_mhops_per_s"] = round(b2 * l2 / dt / 1e6, 1)

