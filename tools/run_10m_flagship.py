@@ -76,17 +76,37 @@ def main():
         pass
 
     # the multi-GB CSR must be a jit ARGUMENT (closure capture embeds it
-    # as an HLO constant -> remote_compile HTTP 413; see CLAUDE.md)
+    # as an HLO constant -> remote_compile HTTP 413; see CLAUDE.md).
+    # STAGED jits: the fused single-graph tile sends the remote compiler
+    # into a >13-minute spiral at these shapes, while the four stages
+    # individually compile in ~90 s total (tools/exp_reuse_probe.py).
     @jax.jit
-    def reuse_tile(gg, starts_rep, srcs_sorted, key):
-        walks = uniform_walks(gg, starts_rep, length, key)
-        srcs, tgts, vals, cnt_src = _reuse_items(gg.deg, walks, step, c, times)
-        counts = segment_sum_1d(
-            cnt_src, jnp.ones_like(cnt_src, jnp.float32), v
-        )
+    def walks_fn(gg, starts_rep, key):
+        return uniform_walks(gg, starts_rep, length, key)
+
+    @jax.jit
+    def items_fn(deg, walks):
+        return _reuse_items(deg, walks, step, c, times)
+
+    @jax.jit
+    def counts_fn(cnt_src):
+        return segment_sum_1d(cnt_src, jnp.ones_like(cnt_src, jnp.float32), v)
+
+    @jax.jit
+    def topk_fn(srcs, tgts, vals, srcs_sorted, counts):
         return pair_topk_by_source(
             srcs, tgts, vals, srcs_sorted, topk, counts=counts
         )
+
+    def reuse_tile(gg, starts_rep, srcs_sorted, key):
+        walks = walks_fn(gg, starts_rep, key)
+        srcs, tgts, vals, cnt_src = items_fn(gg.deg, walks)
+        counts = counts_fn(cnt_src)
+        return topk_fn(srcs, tgts, vals, srcs_sorted, counts)
+
+    import faulthandler
+
+    faulthandler.dump_traceback_later(300, repeat=True)
 
     def compute_tile(sources, key):
         if time.time() > deadline:
@@ -105,9 +125,11 @@ def main():
                     [chunk, np.full(tile - len(chunk), chunk[-1], np.int32)]
                 )
             starts = jnp.repeat(jnp.asarray(chunk), wpn)
+            tt = time.time()
             vals, idx = reuse_tile(
                 g, starts, jnp.asarray(chunk), jax.random.fold_in(key, lo)
             )
+            print(f"    tile {lo}: {time.time()-tt:.1f}s", flush=True)
             # rows come back in sorted-source order; windows pass ascending
             # contiguous ranges so order == input order
             out_v[lo:hi] = np.asarray(vals)[: hi - lo]

@@ -46,14 +46,14 @@ def main():
     print(f"graph: V={g.n_nodes} slots={g.n_edges}", flush=True)
 
     if not os.path.exists(SIM_PATH):
+        import jax.numpy as jnp
+
         t0 = time.time()
-        sim = np.asarray(exact_simrank(g, SimRankConfig(iterations=3)))
-        k = 20
-        idx = np.argpartition(-sim, k, axis=1)[:, :k]
-        vals = np.take_along_axis(sim, idx, axis=1)
-        order = np.argsort(-vals, axis=1)
-        idx = np.take_along_axis(idx, order, axis=1)
-        vals = np.take_along_axis(vals, order, axis=1)
+        sim = exact_simrank(g, SimRankConfig(iterations=3))
+        # top-k ON DEVICE: pulling the full [V, V] through the tunnel is
+        # ~425 MB at pathological readback rates; [V, 20] is 800 KB
+        vals, idx = jax.jit(lambda s: jax.lax.top_k(s, 20))(sim)
+        vals, idx = np.asarray(vals), np.asarray(idx)
         write_sim_file(SIM_PATH, idx, vals)
         print(f"sim file: {time.time()-t0:.1f}s -> {SIM_PATH}", flush=True)
 
