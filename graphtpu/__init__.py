@@ -19,6 +19,10 @@ Layout (mirrors SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+from graphtpu.axon_pin import pin_pool_member as _pin_pool_member
+
+_pin_pool_member()  # no-op unless GRAPHTPU_AXON_MEMBER is set
+
 from graphtpu.core.graph import (
     Graph,
     DiGraph,

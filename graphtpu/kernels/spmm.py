@@ -490,13 +490,38 @@ def spmv_pallas(
     (plain run sums + flush-time row scaling — fewer VPU/VMEM passes per
     item, naive-sum O(d)·eps row error).
     """
+    n, c = x.shape
+    out = spmv_pallas_flat(
+        stream, x.reshape(-1), c, nbuf=nbuf, interpret=interpret, mode=mode
+    )
+    return out.reshape(stream.n_nodes + 1, c)[: stream.n_nodes]
+
+
+def spmv_pallas_flat(
+    stream: SpmvStream,
+    x_flat: jax.Array,
+    c: int,
+    nbuf: int = 16,
+    interpret: bool = False,
+    mode: str = "kahan",
+) -> jax.Array:
+    """Flat-layout form of :func:`spmv_pallas`: ``x_flat`` is row-major
+    [>=V, C] flattened to 1-D, returns the raw ((V+1)*C,) output (row V is
+    the pad-item dummy row).  Keeping multi-GB iterates 1-D end-to-end
+    avoids the tiled->linear relayout copy XLA inserts when a [V, V]
+    operand is reshaped at the kernel boundary — at arxiv scale that copy
+    alone is 5.6 GB of HLO temp and pushed ``exact_simrank_spmm`` over
+    HBM.  All stream slots are < V, so ``x_flat`` may be (V*C,) or the
+    ((V+1)*C,) output of a previous call (the dummy row is never read).
+    """
     import functools as _ft
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, c = x.shape
+    x = x_flat
     v = stream.n_nodes
+    assert x.ndim == 1 and x.size >= v * c, (x.shape, v, c)
     assert c % 1024 == 0, c
     tb = stream.block_items
     t_total = stream.slots.shape[0]
@@ -518,14 +543,21 @@ def spmv_pallas(
                 pltpu.SMEM((4,), jnp.int32),
                 pltpu.SMEM((2,), jnp.float32),
             ],
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # the item-block grid carries VMEM/SMEM state across
+                # steps (rows span blocks); "arbitrary" pins the grid
+                # to sequential execution on one core — newer Mosaic
+                # schedulers otherwise may parallelise/reorder steps,
+                # which deadlocks the zone semaphores ON HARDWARE
+                # (wedges the worker; interpret mode cannot catch it)
+                dimension_semantics=("arbitrary",),
+            ),
             interpret=interpret,
         )
-        out = kernel(
-            stream.slots, stream.raw_wts, stream.pos, stream.scales,
-            x.reshape(-1),
+        return kernel(
+            stream.slots, stream.raw_wts, stream.pos, stream.scales, x
         )
-        return out.reshape(v + 1, c)[:v]
     kernel = pl.pallas_call(
         _ft.partial(_spmv_kernel, c, nbuf),
         out_shape=jax.ShapeDtypeStruct(((v + 1) * c,), x.dtype),
@@ -540,11 +572,19 @@ def spmv_pallas(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((4,), jnp.int32),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # the item-block grid carries VMEM/SMEM state across
+                # steps (rows span blocks); "arbitrary" pins the grid
+                # to sequential execution on one core — newer Mosaic
+                # schedulers otherwise may parallelise/reorder steps,
+                # which deadlocks the zone semaphores ON HARDWARE
+                # (wedges the worker; interpret mode cannot catch it)
+                dimension_semantics=("arbitrary",),
+            ),
         interpret=interpret,
     )
-    out = kernel(stream.slots, stream.wts, stream.pos, x.reshape(-1))
-    return out.reshape(v + 1, c)[:v]
+    return kernel(stream.slots, stream.wts, stream.pos, x)
 
 
 def spmv_stream_xla(stream: SpmvStream, x: jax.Array) -> jax.Array:

@@ -116,7 +116,7 @@ def exact_simrank_spmm(
     from graphtpu.kernels.spmm import (
         build_reduction_tree,
         build_spmv_stream,
-        spmv_pallas,
+        spmv_pallas_flat,
         tree_spmm,
     )
 
@@ -132,15 +132,106 @@ def exact_simrank_spmm(
         g = pad_graph_nodes(g, v)
         plan = build_spmv_stream(g, weighted=weighted)
 
-        def mul(p, x):
-            return spmv_pallas(p, x, mode=spmv_mode)
+        # S stays a FLAT (row-major) 1-D array between stages, and each
+        # stage is its own donated jit.  Two reasons, both HBM (at arxiv
+        # a [V, V] f32 iterate is 5.6 GB and the chip holds 15.75 GB):
+        #   * flat operands skip the tiled->linear relayout copy XLA
+        #     inserts at the pallas boundary for [V, V] inputs;
+        #   * donation caps every stage at TWO live iterate-sized
+        #     buffers (in + out).  The fused one-jit form peaked at
+        #     3 x 5.6 GB of HLO temps + the argument and stopped
+        #     compiling when the runtime's reserved HBM grew.
+        # NO donation on the mul: x is the kernel's TABLE (random-access
+        # reads interleaved with output writes) — aliasing in==out would
+        # corrupt rows, and XLA's protective copy would cost the very
+        # 5.6 GB temp this layout exists to avoid.  Buffers are instead
+        # released between stages with explicit ``del``.
+        @jax.jit
+        def mul_flat(p, x_flat):
+            # ((v+1)*v,) out; row v is the pad-item dummy row, never
+            # read back (all stream slots < v)
+            return spmv_pallas_flat(p, x_flat, v, mode=spmv_mode)
 
-    else:
-        v = v_real
-        plan = build_reduction_tree(g, width=width, weighted=weighted)
+        # Transpose without ever holding 3 iterate-sized buffers: XLA
+        # materialises a full tiled [v, v] HLO temp for ANY flat->2-D
+        # reshape it cannot fuse (measured: reshape.2 5.64 GB at arxiv
+        # even when the consumer is a thin column slice).  So the
+        # transpose runs as row-PANEL updates into a 2-D tiled target
+        # (contiguous flat slices DO fuse), then one flatten jit whose
+        # only live buffers are its input and output.
+        tp_b = min(v, 4096)
+        n_full, tp_rem = divmod(v, tp_b)
 
-        def mul(p, x):
-            return tree_spmm(p, x, col_block=col_block, impl="xla")
+        def _panel_fn(b):
+            @partial(jax.jit, donate_argnums=(0,))
+            def panel(out2d, ps_flat, lo):
+                p = jax.lax.dynamic_slice(ps_flat, (lo * v,), (b * v,))
+                return jax.lax.dynamic_update_slice(
+                    out2d, p.reshape(b, v).T, (jnp.int32(0), lo)
+                )
+
+            return panel
+
+        panel_full = _panel_fn(tp_b)
+        panel_rem = _panel_fn(tp_rem) if tp_rem else None
+
+        @jax.jit
+        def flatten2d(x2d):
+            return x2d.reshape(-1)
+
+
+        # Elementwise stages stay 1-D: the diagonal of a row-major
+        # [v, v] lives at flat indices ≡ 0 (mod v+1), so no flat->2-D
+        # reshape (which XLA materialises as a tiled 5.6 GB temp) is
+        # ever needed.
+        @jax.jit
+        def scale_pin_flat(out_flat):
+            # c * out, diag pinned to 1 between iterations
+            # (SimRank.java:27-30); trims the dummy row so every
+            # mul_flat call shares one (v*v,) input signature
+            s2 = out_flat[: v * v]
+            i = jax.lax.iota(jnp.int32, v * v)
+            return jnp.where(i % (v + 1) == 0, 1.0, cfg.c * s2).astype(dtype)
+
+        @jax.jit
+        def init_flat(one):
+            # ``one`` is a traced scalar: a jit whose output depends only
+            # on constants folds the 1.5e9-element iota client-side
+            # (minutes of CPU; see CLAUDE.md)
+            i = jax.lax.iota(jnp.int32, v * v)
+            return jnp.where(i % (v + 1) == 0, one, 0.0).astype(dtype)
+
+        assert v * v < 2**31, "flat int32 iota overflow; shard instead"
+        s = init_flat(jnp.float32(1.0))
+        for _ in range(cfg.iterations):
+            ps = mul_flat(plan, s)                 # P S
+            del s                                  # keep <= 2 iterates live
+            out2d = jnp.zeros((v, v), dtype)       # (P S)^T, tiled target
+            for i in range(n_full):
+                out2d = panel_full(out2d, ps, jnp.int32(i * tp_b))
+            if panel_rem is not None:
+                out2d = panel_rem(out2d, ps, jnp.int32(n_full * tp_b))
+            del ps                                 # before the flatten
+            pst = flatten2d(out2d)
+            del out2d
+            out = mul_flat(plan, pst)              # P (P S)^T == P S P^T
+            del pst
+            s = scale_pin_flat(out)
+            del out
+        # post-process: sim(i,i) = 0 (SimRank.java:62-65), trim pad rows
+        @jax.jit
+        def finish_flat(s_flat):
+            i = jax.lax.iota(jnp.int32, v * v)
+            w = jnp.where(i % (v + 1) == 0, 0.0, s_flat)
+            return w.reshape(v, v)[:v_real, :v_real]
+
+        return finish_flat(s)
+
+    v = v_real
+    plan = build_reduction_tree(g, width=width, weighted=weighted)
+
+    def mul(p, x):
+        return tree_spmm(p, x, col_block=col_block, impl="xla")
 
     @partial(jax.jit, donate_argnums=(1,))
     def one_iter(plan, s, diag_idx):
