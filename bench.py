@@ -38,7 +38,34 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def ensure_healthy_member():
+    """Pool members wedged by earlier sessions accept claims but hang
+    every execution (CLAUDE.md "TPU worker recovery").  Probe the pool in
+    subprocesses and, if a healthy member is found, re-exec this process
+    pinned to it — re-exec because the sitecustomize pool auto-register
+    cannot be re-entered in-process."""
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    if os.environ.get("GRAPHTPU_AXON_MEMBER") or os.environ.get(
+        "_GRAPHTPU_BENCH_REEXEC"
+    ):
+        return
+    from graphtpu.axon_pin import autoselect_member
+
+    port = autoselect_member(pin=False)
+    env = dict(os.environ)
+    env["_GRAPHTPU_BENCH_REEXEC"] = "1"
+    if port is None:
+        return  # default picker; nothing better available
+    env["GRAPHTPU_AXON_MEMBER"] = port
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    sys.stderr.flush()
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def main():
+    ensure_healthy_member()
+
     import jax
     import jax.numpy as jnp
 
@@ -106,18 +133,24 @@ def main():
     value = updates_per_s / 1e9
     log(f"per-iter: {per_iter * 1e3:.1f} ms -> {value:.1f} G pair-updates/s")
 
-    # extras must never cost us the headline line (a crashed TPU worker
-    # mid-extras would otherwise abort before the stdout JSON the driver
-    # consumes)
+    # extras must never cost us the headline line: a wedged TPU worker
+    # HANGS (no exception), so they run in a subprocess with a hard
+    # timeout; its one stdout line is the extras dict
+    extras = {}
     try:
-        extras = secondary_metrics(g)
+        import subprocess
+
+        cp = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extras-only"],
+            stdout=subprocess.PIPE,
+            timeout=float(os.environ.get("GRAPHTPU_EXTRAS_TIMEOUT", 1500)),
+        )
+        for line in cp.stdout.decode().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                extras = json.loads(line)
     except Exception as e:  # pragma: no cover - environment failures
-        log(f"secondary_metrics failed: {e!r}")
-        extras = {}
-    try:
-        extras.update(spmm_metrics())
-    except Exception as e:  # pragma: no cover - environment failures
-        log(f"spmm_metrics failed: {e!r}")
+        log(f"extras subprocess failed: {e!r}")
 
     result = {
         "metric": "simrank_exact_blog_pair_updates",
@@ -270,5 +303,26 @@ def spmm_metrics():
     }
 
 
+def extras_main():
+    """--extras-only: compute secondary + spmm metrics, print ONE JSON
+    dict line to stdout (consumed by the parent bench process)."""
+    import graphtpu
+
+    extras = {}
+    try:
+        g = graphtpu.read_edgelist_graph(BLOG, n_nodes=10496)
+        extras.update(secondary_metrics(g))
+    except Exception as e:  # pragma: no cover - environment failures
+        log(f"secondary_metrics failed: {e!r}")
+    try:
+        extras.update(spmm_metrics())
+    except Exception as e:  # pragma: no cover - environment failures
+        log(f"spmm_metrics failed: {e!r}")
+    print(json.dumps(extras), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--extras-only" in sys.argv:
+        extras_main()
+    else:
+        main()

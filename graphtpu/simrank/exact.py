@@ -93,6 +93,7 @@ def exact_simrank_spmm(
     col_block: int = 4096,
     impl: str = "auto",
     spmv_mode: str = "kahan",
+    interpret: bool = False,
 ) -> jax.Array:
     """Exact SimRank with SPARSE P·S / (P·Sᵀ) products (diag zeroed).
 
@@ -150,7 +151,9 @@ def exact_simrank_spmm(
         def mul_flat(p, x_flat):
             # ((v+1)*v,) out; row v is the pad-item dummy row, never
             # read back (all stream slots < v)
-            return spmv_pallas_flat(p, x_flat, v, mode=spmv_mode)
+            return spmv_pallas_flat(
+                p, x_flat, v, mode=spmv_mode, interpret=interpret
+            )
 
         # Transpose without ever holding 3 iterate-sized buffers: XLA
         # materialises a full tiled [v, v] HLO temp for ANY flat->2-D

@@ -136,3 +136,18 @@ def test_exact_simrank_spmm_matches_dense(small_random, weighted):
         exact_simrank_spmm(g, cfg, weighted=weighted, col_block=48)
     )
     np.testing.assert_allclose(sparse, dense, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["kahan", "fast"])
+def test_exact_simrank_spmm_flat_staged_pallas(small_random, mode):
+    """The TPU production path — flat iterates, panel transpose, flat
+    diag pinning — run under pallas interpret mode so its staging logic
+    (not just the kernel) is exercised off-hardware."""
+    g = small_random
+    cfg = SimRankConfig(iterations=3)
+    dense = np.asarray(exact_simrank(g, cfg))
+    staged = np.asarray(
+        exact_simrank_spmm(g, cfg, impl="pallas", spmv_mode=mode,
+                           interpret=True)
+    )
+    np.testing.assert_allclose(staged, dense, atol=2e-5)

@@ -98,10 +98,21 @@ def main():
             srcs, tgts, vals, srcs_sorted, topk, counts=counts
         )
 
+    def hard_sync(x):
+        # a real device round-trip: under the axon runtime
+        # block_until_ready can return before execution, and letting
+        # stages pile up in the async queue wedges the worker (see
+        # CLAUDE.md "TPU worker recovery"); a 1-element readback forces
+        # the queue to drain
+        float(x.reshape(-1)[0])
+
     def reuse_tile(gg, starts_rep, srcs_sorted, key):
         walks = walks_fn(gg, starts_rep, key)
+        hard_sync(walks)
         srcs, tgts, vals, cnt_src = items_fn(gg.deg, walks)
+        hard_sync(srcs)
         counts = counts_fn(cnt_src)
+        hard_sync(counts)
         return topk_fn(srcs, tgts, vals, srcs_sorted, counts)
 
     import faulthandler
