@@ -23,6 +23,7 @@ ICI collectives.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -205,21 +206,42 @@ def exact_simrank_spmm(
             return jnp.where(i % (v + 1) == 0, one, 0.0).astype(dtype)
 
         assert v * v < 2**31, "flat int32 iota overflow; shard instead"
+
+        # GRAPHTPU_HARD_SYNC=1: drain the async queue after every stage
+        # with a 1-element readback.  Under the remote runtime
+        # block_until_ready can return before execution; a Python loop
+        # running ahead pre-allocates every queued stage's output and a
+        # worker pushed over HBM this way hangs instead of erroring
+        # (DESIGN.md "O(V²) iterates under a hard HBM ceiling").
+        if os.environ.get("GRAPHTPU_HARD_SYNC"):
+            def _sync(x):
+                float(x.reshape(-1)[0])
+        else:
+            def _sync(x):
+                pass
+
         s = init_flat(jnp.float32(1.0))
+        _sync(s)
         for _ in range(cfg.iterations):
             ps = mul_flat(plan, s)                 # P S
+            _sync(ps)
             del s                                  # keep <= 2 iterates live
             out2d = jnp.zeros((v, v), dtype)       # (P S)^T, tiled target
             for i in range(n_full):
                 out2d = panel_full(out2d, ps, jnp.int32(i * tp_b))
+                _sync(out2d)
             if panel_rem is not None:
                 out2d = panel_rem(out2d, ps, jnp.int32(n_full * tp_b))
+                _sync(out2d)
             del ps                                 # before the flatten
             pst = flatten2d(out2d)
+            _sync(pst)
             del out2d
             out = mul_flat(plan, pst)              # P (P S)^T == P S P^T
+            _sync(out)
             del pst
             s = scale_pin_flat(out)
+            _sync(s)
             del out
         # post-process: sim(i,i) = 0 (SimRank.java:62-65), trim pad rows
         @jax.jit
