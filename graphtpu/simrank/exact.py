@@ -148,7 +148,13 @@ def exact_simrank_spmm(
         # corrupt rows, and XLA's protective copy would cost the very
         # 5.6 GB temp this layout exists to avoid.  Buffers are instead
         # released between stages with explicit ``del``.
-        @jax.jit
+        # GRAPHTPU_EAGER=1 drops the jit wrappers: per-op dispatch is the
+        # only execution mode observed reliable on the post-restart
+        # remote runtime (composed jit executables hang at execution).
+        eager = bool(os.environ.get("GRAPHTPU_EAGER"))
+        maybe_jit = (lambda f: f) if eager else jax.jit
+
+        @maybe_jit
         def mul_flat(p, x_flat):
             # ((v+1)*v,) out; row v is the pad-item dummy row, never
             # read back (all stream slots < v)
@@ -179,7 +185,7 @@ def exact_simrank_spmm(
         panel_full = _panel_fn(tp_b)
         panel_rem = _panel_fn(tp_rem) if tp_rem else None
 
-        @jax.jit
+        @maybe_jit
         def flatten2d(x2d):
             return x2d.reshape(-1)
 
@@ -188,7 +194,7 @@ def exact_simrank_spmm(
         # [v, v] lives at flat indices ≡ 0 (mod v+1), so no flat->2-D
         # reshape (which XLA materialises as a tiled 5.6 GB temp) is
         # ever needed.
-        @jax.jit
+        @maybe_jit
         def scale_pin_flat(out_flat):
             # c * out, diag pinned to 1 between iterations
             # (SimRank.java:27-30); trims the dummy row so every
@@ -197,7 +203,7 @@ def exact_simrank_spmm(
             i = jax.lax.iota(jnp.int32, v * v)
             return jnp.where(i % (v + 1) == 0, 1.0, cfg.c * s2).astype(dtype)
 
-        @jax.jit
+        @maybe_jit
         def init_flat(one):
             # ``one`` is a traced scalar: a jit whose output depends only
             # on constants folds the 1.5e9-element iota client-side
@@ -220,23 +226,50 @@ def exact_simrank_spmm(
             def _sync(x):
                 pass
 
+        def transpose_flat_of(box):
+            # takes OWNERSHIP of ps via a 1-element list so the caller
+            # holds no reference during the flatten (a caller-held ps
+            # would make three iterate-sized buffers live); both forms
+            # keep peak live memory ~2 iterate-sized buffers
+            ps = box.pop()
+            if eager:
+                # eager DUS cannot run in place (no donation), so build
+                # the column blocks of psT as separate parts and
+                # concatenate: parts total one iterate while ps lives
+                parts = []
+                for i in range(n_full + (1 if panel_rem is not None else 0)):
+                    b = tp_b if i < n_full else tp_rem
+                    seg = jax.lax.dynamic_slice(
+                        ps, (i * tp_b * v,), (b * v,)
+                    )
+                    parts.append(seg.reshape(b, v).T)  # [v, b]
+                    _sync(parts[-1])
+                del ps
+                out2d = jnp.concatenate(parts, axis=1)
+                _sync(out2d)
+                del parts
+            else:
+                out2d = jnp.zeros((v, v), dtype)   # (P S)^T, tiled target
+                for i in range(n_full):
+                    out2d = panel_full(out2d, ps, jnp.int32(i * tp_b))
+                    _sync(out2d)
+                if panel_rem is not None:
+                    out2d = panel_rem(out2d, ps, jnp.int32(n_full * tp_b))
+                    _sync(out2d)
+                del ps
+            pst = flatten2d(out2d)
+            _sync(pst)
+            return pst
+
         s = init_flat(jnp.float32(1.0))
         _sync(s)
         for _ in range(cfg.iterations):
             ps = mul_flat(plan, s)                 # P S
             _sync(ps)
             del s                                  # keep <= 2 iterates live
-            out2d = jnp.zeros((v, v), dtype)       # (P S)^T, tiled target
-            for i in range(n_full):
-                out2d = panel_full(out2d, ps, jnp.int32(i * tp_b))
-                _sync(out2d)
-            if panel_rem is not None:
-                out2d = panel_rem(out2d, ps, jnp.int32(n_full * tp_b))
-                _sync(out2d)
-            del ps                                 # before the flatten
-            pst = flatten2d(out2d)
-            _sync(pst)
-            del out2d
+            box = [ps]
+            del ps                                 # box holds the only ref
+            pst = transpose_flat_of(box)
             out = mul_flat(plan, pst)              # P (P S)^T == P S P^T
             _sync(out)
             del pst

@@ -80,19 +80,27 @@ def main():
     # STAGED jits: the fused single-graph tile sends the remote compiler
     # into a >13-minute spiral at these shapes, while the four stages
     # individually compile in ~90 s total (tools/exp_reuse_probe.py).
-    @jax.jit
+    # GRAPHTPU_EAGER=1 skips the jit wrappers entirely: per-op dispatch
+    # (each primitive still compiles once and caches) — the only
+    # execution mode observed to be reliable on the post-restart remote
+    # runtime, where composed jit executables hang at execution.
+    maybe_jit = (
+        (lambda f: f) if os.environ.get("GRAPHTPU_EAGER") else jax.jit
+    )
+
+    @maybe_jit
     def walks_fn(gg, starts_rep, key):
         return uniform_walks(gg, starts_rep, length, key)
 
-    @jax.jit
+    @maybe_jit
     def items_fn(deg, walks):
         return _reuse_items(deg, walks, step, c, times)
 
-    @jax.jit
+    @maybe_jit
     def counts_fn(cnt_src):
         return segment_sum_1d(cnt_src, jnp.ones_like(cnt_src, jnp.float32), v)
 
-    @jax.jit
+    @maybe_jit
     def topk_fn(srcs, tgts, vals, srcs_sorted, counts):
         return pair_topk_by_source(
             srcs, tgts, vals, srcs_sorted, topk, counts=counts
