@@ -38,34 +38,53 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def ensure_healthy_member():
-    """Pool members wedged by earlier sessions accept claims but hang
-    every execution (CLAUDE.md "TPU worker recovery").  Probe the pool in
-    subprocesses and, if a healthy member is found, re-exec this process
-    pinned to it — re-exec because the sitecustomize pool auto-register
-    cannot be re-entered in-process."""
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
-        return
-    if os.environ.get("GRAPHTPU_AXON_MEMBER") or os.environ.get(
-        "_GRAPHTPU_BENCH_REEXEC"
-    ):
-        return
-    from graphtpu.axon_pin import autoselect_member
+CANARY_EXIT = 3
 
-    port = autoselect_member(pin=False)
-    env = dict(os.environ)
-    env["_GRAPHTPU_BENCH_REEXEC"] = "1"
-    if port is None:
-        return  # default picker; nothing better available
-    env["GRAPHTPU_AXON_MEMBER"] = port
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    sys.stderr.flush()
-    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+def orchestrate():
+    """Try the real bench pinned to each pool member in turn.
+
+    A pool member recovered from a wedge serves exactly ONE process per
+    recovery cycle (CLAUDE.md "TPU worker recovery") — so probing with a
+    throwaway process and then launching the real job guarantees the
+    real job lands on a dead member.  Instead the REAL bench process
+    opens with an in-process canary (watchdog thread -> exit 3) and the
+    orchestrator simply moves to the next member on exit 3."""
+    import subprocess
+
+    attempts = [None] if os.environ.get("JAX_PLATFORMS", "") != "axon" else [
+        "8082", "8092", "8102", "8112", None
+    ]
+    budget = float(os.environ.get("GRAPHTPU_BENCH_TIMEOUT", 3600))
+    for port in attempts:
+        env = dict(os.environ)
+        if port is not None:
+            env["GRAPHTPU_AXON_MEMBER"] = port
+            env["PALLAS_AXON_POOL_IPS"] = ""
+        try:
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                stdout=subprocess.PIPE,
+                timeout=budget,
+                env=env,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"bench on member {port}: timed out")
+            continue
+        out = cp.stdout.decode()
+        if cp.returncode == CANARY_EXIT:
+            log(f"bench on member {port}: canary dead, trying next")
+            continue
+        for line in out.splitlines():
+            if line.strip().startswith("{"):
+                print(line.strip())
+                return 0
+        log(f"bench on member {port}: rc={cp.returncode}, no JSON")
+    log("bench: no member produced a result")
+    return 1
 
 
 def main():
-    ensure_healthy_member()
-
     import jax
     import jax.numpy as jnp
 
@@ -74,6 +93,10 @@ def main():
     from graphtpu.simrank.exact import _simrank_iterate
 
     log(f"devices: {jax.devices()}")
+    if jax.default_backend() != "cpu":
+        from graphtpu.axon_pin import canary
+
+        canary(exit_code=CANARY_EXIT)
 
     if os.path.exists(BLOG):
         # pad V to a multiple of 256 for MXU tiling (isolated pad nodes
@@ -133,33 +156,45 @@ def main():
     value = updates_per_s / 1e9
     log(f"per-iter: {per_iter * 1e3:.1f} ms -> {value:.1f} G pair-updates/s")
 
-    # extras must never cost us the headline line: a wedged TPU worker
-    # HANGS (no exception), so they run in a subprocess with a hard
-    # timeout; its one stdout line is the extras dict
+    def result_json(extras):
+        return json.dumps({
+            "metric": "simrank_exact_blog_pair_updates",
+            "value": round(value, 2),
+            "unit": "Gupdates/s",
+            "vs_baseline": round(
+                updates_per_s / JVM_BASELINE_UPDATES_PER_S, 1
+            ),
+            "extras": extras,
+        })
+
+    # extras must never cost us the headline: a wedged worker HANGS (no
+    # exception) and a subprocess would be a doomed second process on
+    # this pool member — so they run inline under a watchdog thread that
+    # prints the headline-only JSON and force-exits on timeout
+    import threading
+
+    done = threading.Event()
+
+    def extras_watchdog():
+        if not done.wait(float(os.environ.get("GRAPHTPU_EXTRAS_TIMEOUT",
+                                              1500))):
+            log("extras: timed out; emitting headline-only JSON")
+            print(result_json({}), flush=True)
+            sys.stdout.flush()
+            os._exit(0)
+
+    threading.Thread(target=extras_watchdog, daemon=True).start()
     extras = {}
     try:
-        import subprocess
-
-        cp = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--extras-only"],
-            stdout=subprocess.PIPE,
-            timeout=float(os.environ.get("GRAPHTPU_EXTRAS_TIMEOUT", 1500)),
-        )
-        for line in cp.stdout.decode().splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                extras = json.loads(line)
+        extras = secondary_metrics(g)
     except Exception as e:  # pragma: no cover - environment failures
-        log(f"extras subprocess failed: {e!r}")
-
-    result = {
-        "metric": "simrank_exact_blog_pair_updates",
-        "value": round(value, 2),
-        "unit": "Gupdates/s",
-        "vs_baseline": round(updates_per_s / JVM_BASELINE_UPDATES_PER_S, 1),
-        "extras": extras,
-    }
-    print(json.dumps(result))
+        log(f"secondary_metrics failed: {e!r}")
+    try:
+        extras.update(spmm_metrics())
+    except Exception as e:  # pragma: no cover - environment failures
+        log(f"spmm_metrics failed: {e!r}")
+    done.set()
+    print(result_json(extras))
 
 
 def secondary_metrics(g):
@@ -303,26 +338,8 @@ def spmm_metrics():
     }
 
 
-def extras_main():
-    """--extras-only: compute secondary + spmm metrics, print ONE JSON
-    dict line to stdout (consumed by the parent bench process)."""
-    import graphtpu
-
-    extras = {}
-    try:
-        g = graphtpu.read_edgelist_graph(BLOG, n_nodes=10496)
-        extras.update(secondary_metrics(g))
-    except Exception as e:  # pragma: no cover - environment failures
-        log(f"secondary_metrics failed: {e!r}")
-    try:
-        extras.update(spmm_metrics())
-    except Exception as e:  # pragma: no cover - environment failures
-        log(f"spmm_metrics failed: {e!r}")
-    print(json.dumps(extras), flush=True)
-
-
 if __name__ == "__main__":
-    if "--extras-only" in sys.argv:
-        extras_main()
-    else:
+    if "--run" in sys.argv:
         main()
+    else:
+        sys.exit(orchestrate())

@@ -94,6 +94,38 @@ def autoselect_member(
     return chosen
 
 
+def canary(timeout_s: float = 120.0, exit_code: int = 3) -> None:
+    """Fail fast if this process's pool member hangs executions.
+
+    A recovered member serves ONE process per recovery cycle, so health
+    must be checked by the real job itself, not a throwaway probe
+    process.  The watchdog is a thread: a hung device readback never
+    returns to Python, so only os._exit can unstick the process —
+    callers (or wrapping scripts) treat ``exit_code`` as "try the next
+    member"."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                f"[graphtpu.axon_pin] canary: no readback within "
+                f"{timeout_s:.0f}s; exit {exit_code}",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(exit_code)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    assert float((x @ x)[0, 0]) == 256.0
+    done.set()
+    print("[graphtpu.axon_pin] canary: member healthy", file=sys.stderr)
+
+
 def pin_pool_member() -> None:
     member = os.environ.get("GRAPHTPU_AXON_MEMBER")
     if not member or os.environ.get("PALLAS_AXON_POOL_IPS"):

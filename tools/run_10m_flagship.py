@@ -41,6 +41,11 @@ def main():
     from graphtpu.simrank.uniwalk import _reuse_items
     from graphtpu.walks.walker import uniform_walks
 
+    if jax.default_backend() != "cpu":
+        from graphtpu.axon_pin import canary
+
+        canary()  # exit 3 fast if this pool member is wedged
+
     v = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     avg_deg = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     sample = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
