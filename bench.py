@@ -41,6 +41,16 @@ def log(*a):
 CANARY_EXIT = 3
 
 
+def _tpu_mode() -> bool:
+    """One detection mechanism for orchestrate() and main() (ADVICE r3):
+    the axon plugin registers via sitecustomize, so the env var alone can
+    miss TPU mode; the plugin .so on disk is the ground truth."""
+    return (
+        os.environ.get("JAX_PLATFORMS", "") == "axon"
+        or os.path.exists("/opt/axon/libaxon_pjrt.so")
+    )
+
+
 def orchestrate():
     """Try the real bench pinned to each pool member in turn.
 
@@ -52,9 +62,10 @@ def orchestrate():
     orchestrator simply moves to the next member on exit 3."""
     import subprocess
 
-    attempts = [None] if os.environ.get("JAX_PLATFORMS", "") != "axon" else [
+    attempts = [None] if not _tpu_mode() else [
         "8082", "8092", "8102", "8112", None
     ]
+    log(f"orchestrate: tpu_mode={_tpu_mode()} attempts={attempts}")
     budget = float(os.environ.get("GRAPHTPU_BENCH_TIMEOUT", 3600))
     for port in attempts:
         env = dict(os.environ)
@@ -150,6 +161,10 @@ def main():
         ]
     )
     log(f"high-vs-highest top-20 agreement: {agree:.4f}; highest 3-iter: {hi_3:.1f}s")
+    # free the blog device operands NOW: spmm_metrics allocates two
+    # 6.05 GB arxiv iterates and OOM'd in round 3 with w + three [V,V]
+    # blog buffers (~1.8 GB) still resident (BENCH_r03 RESOURCE_EXHAUSTED)
+    del w, s, s_hi, s_lo
 
     work_per_iter = (2.0 * n_edges_undirected) ** 2 / 2.0
     updates_per_s = work_per_iter / per_iter
@@ -174,12 +189,23 @@ def main():
     import threading
 
     done = threading.Event()
+    print_lock = threading.Lock()
+    printed = [False]
+
+    def print_once(payload):
+        # the watchdog and the main thread can race at the timeout
+        # boundary (ADVICE r3: two JSON lines on stdout); whoever takes
+        # the lock first prints, the other is a no-op
+        with print_lock:
+            if not printed[0]:
+                printed[0] = True
+                print(payload, flush=True)
 
     def extras_watchdog():
         if not done.wait(float(os.environ.get("GRAPHTPU_EXTRAS_TIMEOUT",
                                               1500))):
             log("extras: timed out; emitting headline-only JSON")
-            print(result_json({}), flush=True)
+            print_once(result_json({}))
             sys.stdout.flush()
             os._exit(0)
 
@@ -194,7 +220,7 @@ def main():
     except Exception as e:  # pragma: no cover - environment failures
         log(f"spmm_metrics failed: {e!r}")
     done.set()
-    print(result_json(extras))
+    print_once(result_json(extras))
 
 
 def secondary_metrics(g):

@@ -15,83 +15,19 @@ use (importing graphtpu before any device op suffices).
 """
 
 import os
-import subprocess
 import sys
 
 POOL_MEMBERS = ("8082", "8092", "8102", "8112")
 
-_PROBE_SRC = """
-import graphtpu, jax.numpy as jnp
-x = jnp.ones((256, 256), jnp.bfloat16)
-assert float((x @ x)[0, 0]) == 256.0
-print("HEALTHY")
-"""
-
-
-def autoselect_member(
-    timeout: float = 90.0, verbose: bool = True, pin: bool = True
-) -> str | None:
-    """Probe every pool member in parallel subprocesses; pin the first
-    healthy one in THIS process (must run before JAX backend init).
-
-    A wedged worker accepts claims but hangs every execution, so the
-    only reliable health check is a real matmul + readback — done in
-    subprocesses so a hang cannot wedge the caller.  Returns the chosen
-    port, or None (leave the default pool picker) if none respond.
-    No-op when the axon platform is absent or a member is already
-    pinned.
-
-    ``pin=True`` registers the member in this process — valid only when
-    the sitecustomize pool auto-register was skipped (process launched
-    with ``PALLAS_AXON_POOL_IPS=``); the axon backend refuses re-entry
-    with different options.  A process that was auto-registered must
-    instead re-exec itself with ``GRAPHTPU_AXON_MEMBER=<port>
-    PALLAS_AXON_POOL_IPS=`` (``pin=False``; see bench.py)."""
-    if os.environ.get("_GRAPHTPU_AXON_PINNED"):
-        return os.environ.get("GRAPHTPU_AXON_MEMBER")
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
-        return None
-    procs = {}
-    for port in POOL_MEMBERS:
-        env = dict(os.environ)
-        env["PALLAS_AXON_POOL_IPS"] = ""
-        env["GRAPHTPU_AXON_MEMBER"] = port
-        env.pop("_GRAPHTPU_AXON_PINNED", None)
-        procs[port] = subprocess.Popen(
-            [sys.executable, "-c", _PROBE_SRC],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-            env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-    import time
-
-    deadline = time.time() + timeout
-    chosen = None
-    try:
-        while time.time() < deadline and chosen is None:
-            for port, p in procs.items():
-                rc = p.poll()
-                if rc == 0 and b"HEALTHY" in (p.stdout.read() or b""):
-                    chosen = port
-                    break
-            time.sleep(1.0)
-    finally:
-        for p in procs.values():
-            if p.poll() is None:
-                p.kill()
-    if chosen is not None:
-        if verbose:
-            print(f"[graphtpu.axon_pin] healthy pool member: {chosen}",
-                  file=sys.stderr)
-        if pin:
-            os.environ["GRAPHTPU_AXON_MEMBER"] = chosen
-            os.environ["PALLAS_AXON_POOL_IPS"] = ""
-            pin_pool_member()
-    elif verbose:
-        print("[graphtpu.axon_pin] no healthy pool member found; "
-              "using default picker", file=sys.stderr)
-    return chosen
+# NOTE: there is deliberately NO "probe every member in a subprocess,
+# then launch the real job" helper here (round 3 shipped one;
+# ADVICE r3 showed it violates the recovery protocol twice over: a
+# probe killed at <120s dies mid-claim and WEDGES the member it was
+# testing, and a probe that succeeds consumes a recovered member's
+# one-process-per-recovery-cycle slot so the real job pinned afterwards
+# hangs).  Health is checked by the real job itself via ``canary()``
+# below, with an external loop cycling GRAPHTPU_AXON_MEMBER on exit 3
+# (see bench.py ``orchestrate``).
 
 
 def canary(timeout_s: float = 120.0, exit_code: int = 3) -> None:

@@ -276,14 +276,53 @@ def exact_simrank_spmm(
             s = scale_pin_flat(out)
             _sync(s)
             del out
-        # post-process: sim(i,i) = 0 (SimRank.java:62-65), trim pad rows
-        @jax.jit
-        def finish_flat(s_flat):
+        # post-process: sim(i,i) = 0 (SimRank.java:62-65), trim pad rows.
+        # NOT one reshape+slice jit: a flat->2-D reshape XLA cannot fuse
+        # materialises a full tiled [v, v] temp even when the consumer is
+        # a thin slice (measured above), so that form peaks at ~3
+        # iterate-sized buffers and a worker pushed over HBM hangs rather
+        # than erroring (ADVICE r3).  Instead: diag-zero in place on the
+        # donated flat buffer, then emit rows as 2-D panels into the
+        # [v_real, v_real] result — peak ~2 iterates + one panel.
+        @partial(jax.jit, donate_argnums=(0,))
+        def zero_diag_flat(s_flat):
             i = jax.lax.iota(jnp.int32, v * v)
-            w = jnp.where(i % (v + 1) == 0, 0.0, s_flat)
-            return w.reshape(v, v)[:v_real, :v_real]
+            return jnp.where(i % (v + 1) == 0, 0.0, s_flat)
 
-        return finish_flat(s)
+        def _out_panel_fn(b):
+            @partial(jax.jit, donate_argnums=(0,))
+            def panel(out2d, s_flat, lo):
+                p = jax.lax.dynamic_slice(s_flat, (lo * v,), (b * v,))
+                return jax.lax.dynamic_update_slice(
+                    out2d, p.reshape(b, v)[:, :v_real], (lo, jnp.int32(0))
+                )
+
+            return panel
+
+        s = zero_diag_flat(s)
+        _sync(s)
+        fp_b = min(v_real, tp_b)
+        nf, rem = divmod(v_real, fp_b)
+        if eager:
+            # eager DUS cannot run in place; concatenate row panels
+            parts = []
+            for i in range(nf + (1 if rem else 0)):
+                b = fp_b if i < nf else rem
+                seg = jax.lax.dynamic_slice(s, (i * fp_b * v,), (b * v,))
+                parts.append(seg.reshape(b, v)[:, :v_real])
+                _sync(parts[-1])
+            del s
+            out2d = jnp.concatenate(parts, axis=0)
+        else:
+            out2d = jnp.zeros((v_real, v_real), dtype)
+            pf = _out_panel_fn(fp_b)
+            for i in range(nf):
+                out2d = pf(out2d, s, jnp.int32(i * fp_b))
+                _sync(out2d)
+            if rem:
+                out2d = _out_panel_fn(rem)(out2d, s, jnp.int32(nf * fp_b))
+            del s
+        return out2d
 
     v = v_real
     plan = build_reduction_tree(g, width=width, weighted=weighted)
