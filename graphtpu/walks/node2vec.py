@@ -66,39 +66,70 @@ def _second_order_step_rejection(
     weighted: bool,
 ) -> jax.Array:
     qmax = max(inv_p, 1.0, inv_q)
-    # All max_trials proposals are drawn at once as a [B, T] panel and the
-    # first accepted one is taken — distributionally identical to
-    # sequential rejection (iid trials), but one wide gather round per hop
-    # instead of up to T serialised while_loop rounds.  cur's degree and
-    # row pointer are gathered ONCE per hop ([B]) and broadcast over the
-    # panel; the triangle test is a constant-probe EdgeSet lookup.
+    # Proposals are drawn as [B, C] panel CHUNKS inside a while_loop that
+    # stops as soon as the not-yet-accepted fraction falls below the same
+    # residual the fixed panel is sized for (default_max_trials: 1e-3) —
+    # so the gather traffic tracks the OBSERVED rejection rate instead of
+    # the adversarial all-triangle worst case (VERDICT r3 #6: the fixed
+    # T=24 panel at p=q=0.25 paid 24 gathers/hop when nearly every first
+    # trial accepts).  Chunks are iid trials, so "first accepted proposal
+    # across chunks" is distributionally identical to the one-shot panel;
+    # walkers still unaccepted when the loop exits keep their last
+    # proposal — the same fallback, and the loop only exits early when
+    # such walkers are < residual of the batch.  cur's degree and row
+    # pointer are gathered ONCE per hop and reused by every chunk; the
+    # triangle test is a constant-probe EdgeSet lookup.
     b, t = cur.shape[0], max_trials
-    kp, ka = jax.random.split(key)
+    chunk = min(4, t)
+    n_chunks = -(-t // chunk)
+    residual = 1e-3
+
     if weighted:
-        curw = jnp.broadcast_to(cur[:, None], (b, t))
-        props = weighted_neighbor(g, cumw, curw, kp)
+        curw = jnp.broadcast_to(cur[:, None], (b, chunk))
+
+        def draw(kp):
+            return weighted_neighbor(g, cumw, curw, kp)
     else:
         safe = jnp.maximum(cur, 0)
         deg = g.deg[safe]
         lo = g.row_ptr[safe].astype(jnp.int32)
-        u = jax.random.uniform(kp, (b, t))
-        idx = jnp.minimum(
-            (u * deg[:, None]).astype(jnp.int32),
-            jnp.maximum(deg - 1, 0)[:, None],
-        )
-        props = g.col[lo[:, None] + idx]
         alive = (cur >= 0) & (deg > 0)
-        props = jnp.where(alive[:, None], props, -1)
-    is_ret = props == prev[:, None]
-    is_tri = edge_set_contains(eset, prev[:, None], props)
-    bias = jnp.where(is_ret, inv_p, jnp.where(is_tri, 1.0, inv_q))
-    acc = jax.random.uniform(ka, (b, t)) < (bias / qmax)
-    acc = acc | (props < 0)  # dead walkers: nothing to retry
-    # first accepted proposal; if none accepts, the last proposal stands
-    # (same residual-bias fallback as the sequential sampler)
-    first = jnp.argmax(acc, axis=1)
-    idx = jnp.where(acc.any(axis=1), first, t - 1)
-    return jnp.take_along_axis(props, idx[:, None], axis=1)[:, 0]
+
+        def draw(kp):
+            u = jax.random.uniform(kp, (b, chunk))
+            idx = jnp.minimum(
+                (u * deg[:, None]).astype(jnp.int32),
+                jnp.maximum(deg - 1, 0)[:, None],
+            )
+            props = g.col[lo[:, None] + idx]
+            return jnp.where(alive[:, None], props, -1)
+
+    def round_(state):
+        i, nxt, done = state
+        kp, ka = jax.random.split(jax.random.fold_in(key, i))
+        props = draw(kp)
+        is_ret = props == prev[:, None]
+        is_tri = edge_set_contains(eset, prev[:, None], props)
+        bias = jnp.where(is_ret, inv_p, jnp.where(is_tri, 1.0, inv_q))
+        acc = jax.random.uniform(ka, (b, chunk)) < (bias / qmax)
+        acc = acc | (props < 0)  # dead walkers: nothing to retry
+        any_acc = acc.any(axis=1)
+        first = jnp.argmax(acc, axis=1)
+        # accepted -> first accepted proposal; else -> last proposal of
+        # this chunk (the rolling fallback)
+        pick = jnp.where(any_acc, first, chunk - 1)
+        cand = jnp.take_along_axis(props, pick[:, None], axis=1)[:, 0]
+        nxt = jnp.where(done, nxt, cand)
+        return i + 1, nxt, done | any_acc
+
+    def cond(state):
+        i, _, done = state
+        frac_left = jnp.mean((~done).astype(jnp.float32))
+        return (i < n_chunks) & ((i == 0) | (frac_left > residual))
+
+    state = (jnp.int32(0), jnp.full((b,), -1, cur.dtype), jnp.zeros(b, bool))
+    _, nxt, _ = jax.lax.while_loop(cond, round_, state)
+    return nxt
 
 
 def _second_order_step_exact(

@@ -89,9 +89,14 @@ def main():
     # (each primitive still compiles once and caches) — the only
     # execution mode observed to be reliable on the post-restart remote
     # runtime, where composed jit executables hang at execution.
-    maybe_jit = (
-        (lambda f: f) if os.environ.get("GRAPHTPU_EAGER") else jax.jit
-    )
+    # Round-4 measurement (tools/exp_tile_timing.py, results/RESULTS_r4):
+    # jitted staged tiles run 14x faster than eager per-op dispatch
+    # (0.16 s vs 2.30 s at V=100k; 11.9 s/tile at the 10M reference
+    # shape), and the round-3 "composed jits hang" was the wedged-member
+    # symptom, not a jit defect — so jit is the default and eager is the
+    # opt-in fallback.
+    eager = bool(os.environ.get("GRAPHTPU_EAGER"))
+    maybe_jit = (lambda f: f) if eager else jax.jit
 
     @maybe_jit
     def walks_fn(gg, starts_rep, key):
@@ -111,13 +116,20 @@ def main():
             srcs, tgts, vals, srcs_sorted, topk, counts=counts
         )
 
-    def hard_sync(x):
-        # a real device round-trip: under the axon runtime
-        # block_until_ready can return before execution, and letting
-        # stages pile up in the async queue wedges the worker (see
-        # CLAUDE.md "TPU worker recovery"); a 1-element readback forces
-        # the queue to drain
-        float(x.reshape(-1)[0])
+    if eager or os.environ.get("GRAPHTPU_HARD_SYNC"):
+        def hard_sync(x):
+            # a real device round-trip: under the axon runtime
+            # block_until_ready can return before execution, and letting
+            # stages pile up in the async queue wedges the worker (see
+            # CLAUDE.md "TPU worker recovery"); a 1-element readback
+            # forces the queue to drain
+            float(x.reshape(-1)[0])
+    else:
+        # jit mode: the per-tile [tile, topk] readback at the end of
+        # compute_tile is the only sync needed (four extra round trips
+        # per tile cost ~0.5 s each through the tunnel)
+        def hard_sync(x):
+            pass
 
     def reuse_tile(gg, starts_rep, srcs_sorted, key):
         walks = walks_fn(gg, starts_rep, key)
@@ -166,9 +178,33 @@ def main():
             f"({hops_per_tile * (n // tile + (n % tile > 0)) / (time.time()-t0) / 1e6:.1f} M hops/s)",
             flush=True,
         )
+        # durable per-window stats next to the parts: rounds stay
+        # auditable even if the run is killed (VERDICT r3 #9)
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(
+                {
+                    "V": v, "sample": sample, "times": times, "step": step,
+                    "stopV": stop_v, "window": window, "tile": tile,
+                    "mode": "eager" if eager else "jit",
+                    **stats,
+                    "hops_per_s_session": round(
+                        stats["tiles"] * hops_per_tile
+                        / max(stats["wall"], 1e-9)
+                    ),
+                },
+                f,
+            )
         return out_v, out_i
 
-    out_dir = f"/tmp/flagship_{v}_{sample}"
+    # run outputs live under results/ (repo-auditable), not /tmp
+    # (VERDICT r3 #9: one reboot erased round 3's only flagship evidence)
+    out_dir = os.environ.get(
+        "GRAPHTPU_FLAGSHIP_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "results", f"flagship_{v}_{sample}",
+        ),
+    )
     key = jax.random.key(13)
 
     t0 = time.time()
