@@ -107,7 +107,7 @@ def main():
     if jax.default_backend() != "cpu":
         from graphtpu.axon_pin import canary
 
-        canary(exit_code=CANARY_EXIT)
+        canary(timeout_s=180.0, exit_code=CANARY_EXIT)
 
     if os.path.exists(BLOG):
         # pad V to a multiple of 256 for MXU tiling (isolated pad nodes

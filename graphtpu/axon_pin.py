@@ -30,7 +30,7 @@ POOL_MEMBERS = ("8082", "8092", "8102", "8112")
 # (see bench.py ``orchestrate``).
 
 
-def canary(timeout_s: float = 120.0, exit_code: int = 3) -> None:
+def canary(timeout_s: float = 180.0, exit_code: int = 3) -> None:
     """Fail fast if this process's pool member hangs executions.
 
     A recovered member serves ONE process per recovery cycle, so health

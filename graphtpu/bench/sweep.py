@@ -31,6 +31,15 @@ from graphtpu.simrank.uniwalk import uniwalk_simrank
 from graphtpu.utils.logging import Log
 
 REFERENCE_SAMPLE_GRID = (1000, 2500, 5000, 10000, 20000, 40000)
+# the other swept engines' ACTIVE reference grids:
+#   doubleRandomWalk: samples {5,10,50,100,200,400}, step 1
+#     (Test_u_u_doubleRandomWalk_Sample.java:32-35)
+#   TopSim_doubleSample: samples {5,10,50}, step 1
+#     (Test_u_u_TopSim_doubleSample.java:38-40)
+#   TopSim_Dev: samples {10000}, step 3 (Test_u_u_TopSim_Dev.java:38-40)
+DOUBLEWALK_SAMPLE_GRID = (5, 10, 50, 100, 200, 400)
+DOUBLESAMPLE_GRID = (5, 10, 50)
+DEV_SAMPLE_GRID = (10000,)
 
 
 def sim_matrix_to_dict(
@@ -159,6 +168,122 @@ def sweep_topsim(
         approx = topk_to_dict(vals, idx, sources=sources)
         r = SweepResult(
             "topsim_singleSample", s,
+            precision_sim_dicts(gold, approx, k=topk),
+            ndcg_sim_dicts(gold, approx, k=topk),
+            dt,
+        )
+        results.append(r)
+        if log:
+            log.info(json.dumps(dataclasses.asdict(r)))
+    return results
+
+
+def sweep_doublewalk(
+    g: Graph,
+    gold: Dict,
+    samples: Sequence[int] = DOUBLEWALK_SAMPLE_GRID,
+    step: int = 1,
+    topk: int = 20,
+    log: Optional[Log] = None,
+    key=None,
+    sources: Optional[np.ndarray] = None,
+    source_tile: int = 64,
+) -> List[SweepResult]:
+    """DoubleRandomWalk sweep — ``Test_u_u_doubleRandomWalk_Sample.java``
+    (active grid samples {5,10,50,100,200,400}, step 1)."""
+    from graphtpu.core.config import DoubleWalkConfig
+    from graphtpu.simrank.doublewalk import doublewalk_simrank_rows
+
+    results = []
+    for s in samples:
+        t0 = time.time()
+        sim = doublewalk_simrank_rows(
+            g,
+            DoubleWalkConfig(sample=s, step=step, source_tile=source_tile),
+            key=key,
+            sources=sources,
+        )
+        dt = time.time() - t0
+        approx = sim_matrix_to_dict(sim, topk, sources=sources)
+        r = SweepResult(
+            "doubleRandomWalk", s,
+            precision_sim_dicts(gold, approx, k=topk),
+            ndcg_sim_dicts(gold, approx, k=topk),
+            dt,
+        )
+        results.append(r)
+        if log:
+            log.info(json.dumps(dataclasses.asdict(r)))
+    return results
+
+
+def sweep_doublesample(
+    g: Graph,
+    gold: Dict,
+    samples: Sequence[int] = DOUBLESAMPLE_GRID,
+    step: int = 1,
+    topk: int = 20,
+    log: Optional[Log] = None,
+    key=None,
+    sources: Optional[np.ndarray] = None,
+) -> List[SweepResult]:
+    """TopSim_doubleSample sweep — ``Test_u_u_TopSim_doubleSample.java``
+    (active grid samples {5,10,50}, step 1), sampled endpoint masses."""
+    from graphtpu.core.config import TopSimConfig
+    from graphtpu.simrank.meeting import doublesample_similarity_mc
+
+    results = []
+    for s in samples:
+        t0 = time.time()
+        sim = doublesample_similarity_mc(
+            g, s, TopSimConfig(step=step), key=key, sources=sources
+        )
+        dt = time.time() - t0
+        approx = sim_matrix_to_dict(sim, topk, sources=sources)
+        r = SweepResult(
+            "topsim_doubleSample", s,
+            precision_sim_dicts(gold, approx, k=topk),
+            ndcg_sim_dicts(gold, approx, k=topk),
+            dt,
+        )
+        results.append(r)
+        if log:
+            log.info(json.dumps(dataclasses.asdict(r)))
+    return results
+
+
+def sweep_topsim_dev(
+    g: Graph,
+    gold: Dict,
+    samples: Sequence[float] = DEV_SAMPLE_GRID,
+    step: int = 3,
+    topk: int = 20,
+    log: Optional[Log] = None,
+    key=None,
+    sources: Optional[np.ndarray] = None,
+    source_tile: int = 16,
+) -> List[SweepResult]:
+    """TopSim_Dev two-phase sweep — ``Test_u_u_TopSim_Dev.java`` (active
+    grid samples {10000}, step 3)."""
+    from graphtpu.core.config import TopSimConfig
+    from graphtpu.simrank.meeting import topsim_dev
+
+    results = []
+    for s in samples:
+        t0 = time.time()
+        vals, idx = topsim_dev(
+            g,
+            TopSimConfig(
+                sample=float(s), step=step, topk=topk,
+                source_tile=source_tile,
+            ),
+            key=key,
+            sources=sources,
+        )
+        dt = time.time() - t0
+        approx = topk_to_dict(vals, idx, sources=sources)
+        r = SweepResult(
+            "topsim_dev", s,
             precision_sim_dicts(gold, approx, k=topk),
             ndcg_sim_dicts(gold, approx, k=topk),
             dt,

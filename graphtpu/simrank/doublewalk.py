@@ -86,3 +86,122 @@ def doublewalk_simrank(
     sim = sim[:v, :v]
     np.fill_diagonal(sim, 0.0)
     return sim
+
+
+def doublewalk_simrank_rows(
+    g: Graph,
+    cfg: DoubleWalkConfig = DoubleWalkConfig(),
+    key: Optional[jax.Array] = None,
+    sources: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """[n_src, V] double-walk similarity rows for a source subset — the
+    sweep-protocol form (``Test_u_u_doubleRandomWalk_Sample.java:32-43``
+    scores a source sample against gold, active grid step=1).
+
+    At ``step == 1`` the estimator factorises exactly: first-meet is just
+    endpoint equality after one hop, so
+
+        sim(v, w) = C / S^2 * sum_i cnt_v[i] * cnt_w[i]
+
+    with cnt_v the endpoint histogram of v's S walks — one [n_src, V] x
+    [V, V] MXU matmul over histograms instead of the O(S^2) pair loop
+    (identical sums: sum_{s,s'} 1[a_s == b_s'] == <cnt_a, cnt_b>).
+    ``step > 1`` falls back to the blocked pair computation with row
+    tiles drawn from ``sources``.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    v = g.n_nodes
+    if sources is None:
+        sources = np.arange(v, dtype=np.int32)
+    sources = np.asarray(sources, dtype=np.int32)
+    paths = sample_double_walk_paths(g, cfg.sample, cfg.step, key)
+
+    if cfg.step == 1:
+        from graphtpu.kernels.topk import segment_sum_1d
+
+        ends = paths[:, :, 0]  # [V, S] endpoint after one hop (-1 dead)
+        n_src = len(sources)
+
+        @jax.jit
+        def run(ends, src):
+            # endpoint histogram of the SUBSET rows, scatter-free:
+            # key = subset-row * V + endpoint  ->  segment_sum_1d
+            sub_ends = ends[src]  # [n_src, S]
+            keys = jnp.where(
+                sub_ends >= 0,
+                jnp.arange(n_src, dtype=jnp.int32)[:, None] * v + sub_ends,
+                -1,
+            ).reshape(-1)
+            cnt_sub = segment_sum_1d(
+                keys, jnp.ones_like(keys, jnp.float32), n_src * v
+            ).reshape(n_src, v)
+            # sim(r, w) = C/S^2 * <cnt_r, cnt_w> = C/S^2 * sum_s
+            # cnt_sub[r, ends[w, s]] — S gathers instead of a dense
+            # [V, V] histogram (TPU scatters with V*S update rows
+            # serialise; gathers don't)
+            def add_s(acc, col):
+                term = jnp.where(
+                    col[:, None] >= 0,
+                    cnt_sub[:, jnp.maximum(col, 0)].T,
+                    0.0,
+                )  # [V, n_src]
+                return acc + term, None
+
+            acc, _ = jax.lax.scan(
+                add_s, jnp.zeros((v, n_src), jnp.float32), ends.T
+            )
+            return (cfg.c / (cfg.sample * cfg.sample)) * acc.T
+
+        sim = np.array(run(ends, jnp.asarray(sources)))
+        for r, s in enumerate(sources):
+            sim[r, s] = 0.0
+        return sim
+
+    # generic step: blocked pair computation, rows from the subset
+    n = len(sources)
+    tile = min(cfg.source_tile, n)
+    nr = -(-n // tile)
+    pad_n = nr * tile
+    src_pad = np.concatenate(
+        [sources, np.zeros(pad_n - n, np.int32)]
+    ) if pad_n != n else sources
+    ct = min(cfg.source_tile, v)
+    nc = -(-v // ct)
+    pad_v = nc * ct
+    if pad_v != v:
+        pad = jnp.full((pad_v - v, cfg.sample, cfg.step), -2, jnp.int32)
+        paths_c = jnp.concatenate([paths, pad], axis=0)
+    else:
+        paths_c = paths
+    paths_c = paths_c.reshape(nc, ct, cfg.sample, cfg.step)
+
+    @jax.jit
+    def pair_block(pi: jax.Array, pj: jax.Array) -> jax.Array:
+        met = jnp.zeros((tile, ct, cfg.sample, cfg.sample), bool)
+        acc = jnp.zeros((tile, ct), jnp.float32)
+        for t in range(cfg.step):
+            a = pi[:, :, t]
+            b = pj[:, :, t]
+            eq = (a[:, None, :, None] == b[None, :, None, :]) & (
+                a[:, None, :, None] >= 0
+            )
+            first = eq & ~met
+            acc = acc + (cfg.c ** (t + 1)) * first.sum(
+                axis=(2, 3), dtype=jnp.float32
+            )
+            met = met | eq
+        return acc / (cfg.sample * cfg.sample)
+
+    sim = np.zeros((pad_n, pad_v), np.float32)
+    for bi in range(nr):
+        rows = jnp.asarray(src_pad[bi * tile : (bi + 1) * tile])
+        pi = paths[jnp.asarray(rows)]
+        for bj in range(nc):
+            sim[
+                bi * tile : (bi + 1) * tile, bj * ct : (bj + 1) * ct
+            ] = np.asarray(pair_block(pi, paths_c[bj]))
+    sim = sim[:n, :v]
+    for r, s in enumerate(sources):
+        sim[r, s] = 0.0
+    return sim

@@ -67,14 +67,92 @@ def doublesample_similarity(
     return sim
 
 
+def doublesample_similarity_mc(
+    g: Graph,
+    sample: int,
+    cfg: TopSimConfig = TopSimConfig(),
+    key: Optional[jax.Array] = None,
+    sources: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """[n_src, V] SAMPLED endpoint-mass similarity — the finite-budget
+    regime of ``TopSim_doubleSample`` (``simrank/TopSim_doubleSample
+    .java:20-210``; active sweep grid samples {5,10,50}, step 1:
+    ``benchmark/Test_u_u_TopSim_doubleSample.java:38-40``).
+
+    Each node runs ``sample`` independent walks; the empirical mass
+    m_v[i, t] = #walks of v at node i after t hops / sample replaces the
+    even-split spreading mass, and
+
+        sim(v, w) = sum_t C^t * <m_v[:, t], m_w[:, t]>
+
+    (``getSim :196-210``).  As sample grows this converges to the exact
+    transition-mass product of :func:`doublesample_similarity` — the
+    convergence the sweep table records.  Scatter-free: subset masses via
+    ``segment_sum_1d`` keys, the <m_v, m_w> contraction as one gather
+    per walk slot (see ``doublewalk_simrank_rows``).
+    """
+    import jax
+
+    from graphtpu.kernels.topk import segment_sum_1d
+    from graphtpu.walks.walker import uniform_walks
+
+    if key is None:
+        key = jax.random.key(0)
+    v = g.n_nodes
+    if sources is None:
+        sources = np.arange(v, dtype=np.int32)
+    sources = np.asarray(sources, dtype=np.int32)
+    n_src = len(sources)
+    starts = jnp.repeat(jnp.arange(v, dtype=jnp.int32), sample)
+    walks = uniform_walks(g, starts, cfg.step, key)  # [V*S, step+1]
+    pos = walks[:, 1:].reshape(v, sample, cfg.step)
+
+    @jax.jit
+    def run(pos, src):
+        acc = jnp.zeros((v, n_src), jnp.float32)
+        for t in range(cfg.step):
+            ends = pos[:, :, t]  # [V, S]
+            sub_ends = ends[src]
+            keys = jnp.where(
+                sub_ends >= 0,
+                jnp.arange(n_src, dtype=jnp.int32)[:, None] * v + sub_ends,
+                -1,
+            ).reshape(-1)
+            cnt_sub = segment_sum_1d(
+                keys, jnp.ones_like(keys, jnp.float32), n_src * v
+            ).reshape(n_src, v)
+
+            def add_s(a, col):
+                term = jnp.where(
+                    col[:, None] >= 0,
+                    cnt_sub[:, jnp.maximum(col, 0)].T,
+                    0.0,
+                )
+                return a + term, None
+
+            tacc, _ = jax.lax.scan(
+                add_s, jnp.zeros((v, n_src), jnp.float32), ends.T
+            )
+            acc = acc + (cfg.c ** (t + 1)) * tacc
+        return acc.T / (sample * sample)
+
+    sim = np.array(run(pos, jnp.asarray(sources)))
+    for r, s in enumerate(sources):
+        sim[r, s] = 0.0
+    return sim
+
+
 def topsim_dev(
     g: Graph,
     cfg: TopSimConfig = TopSimConfig(),
     single_k: int = 10,
     key: Optional[jax.Array] = None,
+    sources: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Two-phase TopSim_Dev: spreading-walk candidates, meeting-score
-    verification.  Returns (values [V, topk], indices [V, topk])."""
+    verification.  Returns (values [N, topk], indices [N, topk]) for all
+    sources or the given subset (the sweep protocol scores a source
+    sample, ``Test_u_u_TopSim_Dev.java:38-40``)."""
     from graphtpu.simrank.topsim import topsim_simrank
 
     # phase 1: candidates from the single-walk spreading scores
@@ -87,9 +165,12 @@ def topsim_dev(
             normalize=cfg.normalize,
         ),
         key=key,
+        sources=sources,
     )
     # phase 2: verify candidates with the endpoint-mass product score
     sim = doublesample_similarity(g, cfg)
+    if sources is not None:
+        sim = sim[np.asarray(sources)]
     n, k = cand_idx.shape
     rows = np.repeat(np.arange(n), k)
     cols = cand_idx.reshape(-1)

@@ -44,7 +44,10 @@ def main():
     if jax.default_backend() != "cpu":
         from graphtpu.axon_pin import canary
 
-        canary()  # exit 3 fast if this pool member is wedged
+        # exit 3 fast if this pool member is wedged; >=150s so a healthy
+        # member's ~55s first-op latency (claim + compile + readback)
+        # never gets cut mid-claim (CLAUDE.md recovery rules)
+        canary(timeout_s=180.0)
 
     v = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     avg_deg = int(sys.argv[2]) if len(sys.argv) > 2 else 8

@@ -1,14 +1,18 @@
-"""Reference QA protocol for real (VERDICT #4): precision@20 + NDCG@20
-vs 30-iteration gold over the reference sample grid, per engine, on the
-reference's own datasets.
+"""Reference QA protocol for real: precision@20 + NDCG@20 vs 30-iteration
+gold, per engine, on the reference's own datasets.
 
-Protocol match: ``benchmark/Test_u_u_TopSim_singleSample.java:25-64``
-(grid {1000, 2500, 5000, 10000, 20000, 40000}), gold = naive SimRank 30
-iters (``:17-18``), scoring = ``utils/Eval.java:81-140`` (realK+MIN
-precision) and ``:257-291`` (NDCG).  Deviation from the reference: the
-score is estimated over a fixed random subset of sources (default 2048)
-instead of every vertex — the estimate's standard error is ~1/sqrt(2048)
-≈ 2%, and the full-V sweep would cost ~90 min of chip time.
+Protocol match per engine (each with its ACTIVE reference grid):
+  uniwalk / topsim_singleSample — {1000..40000}
+    (``benchmark/Test_u_u_TopSim_singleSample.java:25-64``)
+  doubleRandomWalk — {5,10,50,100,200,400}, step 1
+    (``Test_u_u_doubleRandomWalk_Sample.java:32-43``)
+  topsim_doubleSample — {5,10,50}, step 1
+    (``Test_u_u_TopSim_doubleSample.java:38-40``)
+  topsim_dev — {10000}, step 3 (``Test_u_u_TopSim_Dev.java:38-40``)
+Scoring: ``utils/Eval.java:81-140`` (realK+MIN precision), ``:257-291``
+(NDCG).  Deviation from the reference: scores are estimated over a fixed
+random subset of sources (default 2048, SE ~2%) instead of every vertex;
+``n_sources >= V`` runs the full-V sweep (the estimator-validation mode).
 
 Usage: python tools/run_sweeps.py [n_sources] [out.jsonl] [dataset ...]
 
@@ -45,24 +49,47 @@ DATASETS = {
     ),
 }
 
+# engines swept per dataset: the V^2-state engines (doublewalk /
+# doublesample rows, dev's dense phase 2) run on the dense-range
+# datasets, like the reference's single-JVM drivers
+ENGINES_SMALL = (
+    "uniwalk", "topsim_singleSample", "doubleRandomWalk",
+    "topsim_doubleSample", "topsim_dev",
+)
+ENGINES_LARGE = ("uniwalk", "topsim_singleSample")
+
 
 def main():
     import jax
 
     import graphtpu
     from graphtpu.bench.sweep import (
+        DEV_SAMPLE_GRID,
+        DOUBLESAMPLE_GRID,
+        DOUBLEWALK_SAMPLE_GRID,
         REFERENCE_SAMPLE_GRID,
         gold_standard,
+        sweep_doublesample,
+        sweep_doublewalk,
         sweep_topsim,
+        sweep_topsim_dev,
         sweep_uniwalk,
     )
+
+    specs = {
+        "uniwalk": (sweep_uniwalk, REFERENCE_SAMPLE_GRID),
+        "topsim_singleSample": (sweep_topsim, REFERENCE_SAMPLE_GRID),
+        "doubleRandomWalk": (sweep_doublewalk, DOUBLEWALK_SAMPLE_GRID),
+        "topsim_doubleSample": (sweep_doublesample, DOUBLESAMPLE_GRID),
+        "topsim_dev": (sweep_topsim_dev, DEV_SAMPLE_GRID),
+    }
 
     n_src = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     out_path = (
         sys.argv[2]
         if len(sys.argv) > 2
         else os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "results", "sweeps_r3.jsonl")
+            os.path.abspath(__file__))), "results", "sweeps_r4.jsonl")
     )
     want = set(sys.argv[3:]) or set(DATASETS)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -81,32 +108,38 @@ def main():
     for name, (path, n_nodes, gold_impl) in DATASETS.items():
         if name not in want:
             continue
+        engines = ENGINES_SMALL if gold_impl == "dense" else ENGINES_LARGE
         need = [
-            s for s in REFERENCE_SAMPLE_GRID
-            if any(
-                (name, alg, float(s)) not in done
-                for alg in ("uniwalk", "topsim_singleSample")
-            )
+            (alg, s)
+            for alg in engines
+            for s in specs[alg][1]
+            if (name, alg, float(s)) not in done
         ]
         if not need:
             print(f"{name}: complete, skipping", flush=True)
             continue
         g = graphtpu.read_edgelist_graph(path, n_nodes=n_nodes)
         rng = np.random.default_rng(0)
+        full_v = n_src >= g.n_nodes
         ns = min(n_src, g.n_nodes)
-        sources = np.sort(
-            rng.choice(g.n_nodes, size=ns, replace=False)
-        ).astype(np.int32)
+        sources = (
+            np.arange(g.n_nodes, dtype=np.int32)
+            if full_v
+            else np.sort(
+                rng.choice(g.n_nodes, size=ns, replace=False)
+            ).astype(np.int32)
+        )
         t0 = time.time()
         gold = gold_standard(g, sources=sources, impl=gold_impl)
         print(
             f"{name}: V={g.n_nodes} slots={g.n_edges} gold({gold_impl}) "
-            f"{time.time()-t0:.1f}s, {ns} sources",
+            f"{time.time()-t0:.1f}s, {ns} sources"
+            + (" (FULL V)" if full_v else ""),
             flush=True,
         )
-        for engine, fn in [("uniwalk", sweep_uniwalk), ("topsim", sweep_topsim)]:
-            alg = "uniwalk" if engine == "uniwalk" else "topsim_singleSample"
-            for s in REFERENCE_SAMPLE_GRID:
+        for alg in engines:
+            fn, grid = specs[alg]
+            for s in grid:
                 if (name, alg, float(s)) in done:
                     print(f"{name}/{alg}/{s}: done, skipping", flush=True)
                     continue
@@ -114,7 +147,8 @@ def main():
                     g, gold, samples=[s],
                     key=jax.random.key(11), sources=sources,
                 ):
-                    rec = {"dataset": name, **dataclasses.asdict(r)}
+                    rec = {"dataset": name, "n_sources": int(ns),
+                           **dataclasses.asdict(r)}
                     print(json.dumps(rec), flush=True)
                     out.write(json.dumps(rec) + "\n")
                     out.flush()
