@@ -345,23 +345,28 @@ def spmm_metrics():
         return {}
     g = graphtpu.read_edgelist_graph(arxiv, n_nodes=38912)
     iters = 10
-    t0 = time.time()
-    s = exact_simrank_spmm(g, SimRankConfig(iterations=iters))
-    s.block_until_ready()
-    log(f"spmm arxiv warmup(compile + {iters} iters): {time.time()-t0:.1f}s")
-    del s  # two live [V,V] f32 iterates would exceed HBM
-    t0 = time.time()
-    s = exact_simrank_spmm(g, SimRankConfig(iterations=iters))
-    s.block_until_ready()
-    per = (time.time() - t0) / iters
-    del s
     bytes_per_iter = 2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * 4.0
-    log(f"spmm arxiv: {per*1e3:.1f} ms/iter, "
-        f"{bytes_per_iter/per/1e9:.0f} GB/s effective")
-    return {
-        "spmm_arxiv_ms_per_iter": round(per * 1e3, 1),
-        "spmm_arxiv_gbps": round(bytes_per_iter / per / 1e9, 0),
-    }
+    out = {}
+    for mode in ("kahan", "fast"):
+        t0 = time.time()
+        s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
+                               spmv_mode=mode)
+        s.block_until_ready()
+        log(f"spmm arxiv {mode} warmup(compile + {iters} iters): "
+            f"{time.time()-t0:.1f}s")
+        del s  # two live [V,V] f32 iterates would exceed HBM
+        t0 = time.time()
+        s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
+                               spmv_mode=mode)
+        s.block_until_ready()
+        per = (time.time() - t0) / iters
+        del s
+        log(f"spmm arxiv {mode}: {per*1e3:.1f} ms/iter, "
+            f"{bytes_per_iter/per/1e9:.0f} GB/s effective")
+        key = "spmm_arxiv" if mode == "kahan" else f"spmm_arxiv_{mode}"
+        out[f"{key}_ms_per_iter"] = round(per * 1e3, 1)
+        out[f"{key}_gbps"] = round(bytes_per_iter / per / 1e9, 0)
+    return out
 
 
 if __name__ == "__main__":

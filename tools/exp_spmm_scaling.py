@@ -132,7 +132,7 @@ print("RESULT", n_dev, per_iter)
 """
 
 
-def run_cores(v=4096, iters=4, cores_per_dev=4):
+def run_cores(v=4096, iters=4, cores_per_dev=1):
     """1 dev x N cores vs 2 dev x 2N cores: equal cores per device, so a
     perfect decomposition gives equal per-iter time (efficiency = t1/t2)."""
     import tempfile

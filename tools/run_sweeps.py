@@ -31,21 +31,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# (path, n_nodes (None = infer), gold impl, V for source-count clamping)
 DATASETS = {
     "moreno_crime": (
         "/root/reference/DeepSim/lshrank_data/realdata/moreno_crime_crime.txt",
         None,
         "dense",
+        1380,
     ),
     "blog": (
         "/root/reference/DeepSim/lshrank_data/realdata/blog.txt",
         10496,
         "dense",
+        10496,
     ),
     "arxiv": (
         "/root/reference/DeepSim/lshrank_data/realdata/arxiv_author_pub.txt",
         38912,
         "spmm",
+        38912,
     ),
 }
 
@@ -85,6 +89,17 @@ def main():
     }
 
     n_src = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    # optional narrowing for targeted runs (e.g. the full-V estimator
+    # validation): GRAPHTPU_SWEEP_ALGS="uniwalk,topsim_singleSample"
+    # GRAPHTPU_SWEEP_SAMPLES="10000"
+    only_algs = set(
+        a for a in os.environ.get("GRAPHTPU_SWEEP_ALGS", "").split(",") if a
+    )
+    only_samples = set(
+        float(s)
+        for s in os.environ.get("GRAPHTPU_SWEEP_SAMPLES", "").split(",")
+        if s
+    )
     out_path = (
         sys.argv[2]
         if len(sys.argv) > 2
@@ -100,20 +115,24 @@ def main():
             for line in f:
                 try:
                     r = json.loads(line)
-                    done.add((r["dataset"], r["algorithm"], float(r["sample"])))
+                    done.add((r["dataset"], r["algorithm"],
+                              float(r["sample"]), r.get("n_sources")))
                 except Exception:
                     pass
     out = open(out_path, "a")
 
-    for name, (path, n_nodes, gold_impl) in DATASETS.items():
+    for name, (path, n_nodes, gold_impl, v_hint) in DATASETS.items():
         if name not in want:
             continue
         engines = ENGINES_SMALL if gold_impl == "dense" else ENGINES_LARGE
+        if only_algs:
+            engines = tuple(a for a in engines if a in only_algs)
         need = [
             (alg, s)
             for alg in engines
             for s in specs[alg][1]
-            if (name, alg, float(s)) not in done
+            if (name, alg, float(s), min(n_src, v_hint)) not in done
+            and (not only_samples or float(s) in only_samples)
         ]
         if not need:
             print(f"{name}: complete, skipping", flush=True)
@@ -140,8 +159,10 @@ def main():
         for alg in engines:
             fn, grid = specs[alg]
             for s in grid:
-                if (name, alg, float(s)) in done:
+                if (name, alg, float(s), int(ns)) in done:
                     print(f"{name}/{alg}/{s}: done, skipping", flush=True)
+                    continue
+                if only_samples and float(s) not in only_samples:
                     continue
                 for r in fn(
                     g, gold, samples=[s],
