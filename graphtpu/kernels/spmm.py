@@ -255,11 +255,17 @@ def build_spmv_stream(
 
 
 def _spmv_kernel(
-    c, nbuf, slots_ref, wts_ref, pos_ref, table_ref, out_ref, buf, acc, rd_sems, wr_sems, state
+    c, nbuf, table_scale, slots_ref, wts_ref, pos_ref, table_ref, out_ref, buf, acc, rd_sems, wr_sems, state
 ):
     """Streaming CSR SpMV: DMA each item's source row through an NBUF ring,
     Kahan-accumulate runs of equal ``pos`` in a double-buffered VMEM
     accumulator, flush each finished row to HBM with a write DMA.
+
+    ``table_scale``: when not None, the gathered table row r is
+    transformed IN VMEM to ``where(col == r, 1, table_scale * row)`` —
+    the SimRank scale-and-diag-pin stage fused into the consumer's
+    gather, saving a full iterate-sized read+write pass per iteration
+    (``simrank/SimRank.java:27-30`` semantics).
 
     state (SMEM int32[4]): [current_row, active_zone, pending_wr0,
     pending_wr1].  acc (VMEM float32[2*2*c]): two zones of (sum, comp).
@@ -324,7 +330,13 @@ def _spmv_kernel(
 
         z = state[1]
         rd_dma(t).wait()
-        row = buf[pl.ds((t % nbuf) * c, c)] * wts_ref[t]
+        raw = buf[pl.ds((t % nbuf) * c, c)]
+        if table_scale is not None:
+            col = lax.broadcasted_iota(jnp.int32, (1, c), 1).reshape(c)
+            raw = jnp.where(
+                col == slots_ref[t], 1.0, table_scale * raw
+            )
+        row = raw * wts_ref[t]
 
         @pl.when(is_new)
         def _():
@@ -364,8 +376,8 @@ def _spmv_kernel(
 
 
 def _spmv_kernel_fast(
-    c, nbuf, weighted, slots_ref, wts_ref, pos_ref, scl_ref, table_ref,
-    out_ref, buf, acc, rd_sems, wr_sems, state, fstate
+    c, nbuf, weighted, table_scale, slots_ref, wts_ref, pos_ref, scl_ref,
+    table_ref, out_ref, buf, acc, rd_sems, wr_sems, state, fstate
 ):
     """Streaming CSR SpMV, throughput variant: plain f32 run accumulation
     with the 1/Σw row scale applied ONCE at row flush (a per-ROW VPU pass
@@ -441,10 +453,14 @@ def _spmv_kernel_fast(
 
         z = state[1]
         rd_dma(t).wait()
+        row = buf[pl.ds((t % nbuf) * c, c)]
+        if table_scale is not None:
+            col = lax.broadcasted_iota(jnp.int32, (1, c), 1).reshape(c)
+            row = jnp.where(
+                col == slots_ref[t], 1.0, table_scale * row
+            )
         if weighted:
-            row = buf[pl.ds((t % nbuf) * c, c)] * wts_ref[t]
-        else:
-            row = buf[pl.ds((t % nbuf) * c, c)]
+            row = row * wts_ref[t]
 
         @pl.when(is_new)
         def _():
@@ -504,6 +520,7 @@ def spmv_pallas_flat(
     nbuf: int = 16,
     interpret: bool = False,
     mode: str = "kahan",
+    table_scale: float | None = None,
 ) -> jax.Array:
     """Flat-layout form of :func:`spmv_pallas`: ``x_flat`` is row-major
     [>=V, C] flattened to 1-D, returns the raw ((V+1)*C,) output (row V is
@@ -513,6 +530,10 @@ def spmv_pallas_flat(
     alone is 5.6 GB of HLO temp and pushed ``exact_simrank_spmm`` over
     HBM.  All stream slots are < V, so ``x_flat`` may be (V*C,) or the
     ((V+1)*C,) output of a previous call (the dummy row is never read).
+
+    ``table_scale``: fuse the SimRank ``where(diag, 1, c*S)`` table
+    transform into each row gather (see ``_spmv_kernel``) — the caller
+    passes the RAW previous output and skips its own scale-pin pass.
     """
     import functools as _ft
 
@@ -529,7 +550,8 @@ def spmv_pallas_flat(
     smem = lambda: pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM)
     if mode == "fast":
         kernel = pl.pallas_call(
-            _ft.partial(_spmv_kernel_fast, c, nbuf, not stream.uniform),
+            _ft.partial(_spmv_kernel_fast, c, nbuf, not stream.uniform,
+                        table_scale),
             out_shape=jax.ShapeDtypeStruct(((v + 1) * c,), x.dtype),
             grid=grid,
             in_specs=[smem(), smem(), smem(), smem(),
@@ -559,7 +581,7 @@ def spmv_pallas_flat(
             stream.slots, stream.raw_wts, stream.pos, stream.scales, x
         )
     kernel = pl.pallas_call(
-        _ft.partial(_spmv_kernel, c, nbuf),
+        _ft.partial(_spmv_kernel, c, nbuf, table_scale),
         out_shape=jax.ShapeDtypeStruct(((v + 1) * c,), x.dtype),
         grid=grid,
         in_specs=[smem(), smem(), smem(),

@@ -162,6 +162,19 @@ def exact_simrank_spmm(
                 p, x_flat, v, mode=spmv_mode, interpret=interpret
             )
 
+        @maybe_jit
+        def mul_pin_flat(p, out_flat):
+            # first product of an iteration, consuming the PREVIOUS
+            # iteration's raw output: the where(diag, 1, c*S) table
+            # transform runs inside the kernel's row gathers
+            # (table_scale), deleting the iterate-sized scale_pin
+            # read+write pass from the loop (round-4 spmm profile:
+            # stages, not the kernel, ate the r2->r3 bandwidth)
+            return spmv_pallas_flat(
+                p, out_flat, v, mode=spmv_mode, interpret=interpret,
+                table_scale=cfg.c,
+            )
+
         # Transpose without ever holding 3 iterate-sized buffers: XLA
         # materialises a full tiled [v, v] HLO temp for ANY flat->2-D
         # reshape it cannot fuse (measured: reshape.2 5.64 GB at arxiv
@@ -261,21 +274,70 @@ def exact_simrank_spmm(
             _sync(pst)
             return pst
 
+        if os.environ.get("GRAPHTPU_SPMM_PROFILE"):
+            # per-stage wall times (forces a readback after each stage);
+            # diagnostic only — the readbacks serialise the async queue
+            import time as _time
+
+            _prof: dict = {}
+
+            def _stage(name, f, *a):
+                t0 = _time.time()
+                r = f(*a)
+                float(r.reshape(-1)[0])
+                _prof[name] = _prof.get(name, 0.0) + _time.time() - t0
+                return r
+
+            _orig_mul, _orig_mul_pin = mul_flat, mul_pin_flat
+
+            def mul_flat(p, x):  # noqa: F811 - deliberate profiled shadow
+                return _stage("mul", _orig_mul, p, x)
+
+            def mul_pin_flat(p, x):  # noqa: F811
+                return _stage("mul_pin", _orig_mul_pin, p, x)
+
+            _orig_scale = scale_pin_flat
+
+            def scale_pin_flat(x):  # noqa: F811
+                return _stage("scale_pin", _orig_scale, x)
+
+            _orig_flat = flatten2d
+
+            def flatten2d(x):  # noqa: F811
+                return _stage("flatten", _orig_flat, x)
+
+            _pf, _pr = panel_full, panel_rem
+
+            def panel_full(o, p, lo):  # noqa: F811
+                return _stage("panels", _pf, o, p, lo)
+
+            if _pr is not None:
+                def panel_rem(o, p, lo):  # noqa: F811
+                    return _stage("panels", _pr, o, p, lo)
+
         s = init_flat(jnp.float32(1.0))
         _sync(s)
-        for _ in range(cfg.iterations):
-            ps = mul_flat(plan, s)                 # P S
+        for k in range(cfg.iterations):
+            # k == 0: table is the materialised identity; k > 0: table is
+            # the previous iteration's RAW output and the scale+diag-pin
+            # runs inside the kernel's gathers — no iterate-sized
+            # elementwise pass in the loop
+            ps = (mul_flat if k == 0 else mul_pin_flat)(plan, s)   # P S'
             _sync(ps)
             del s                                  # keep <= 2 iterates live
             box = [ps]
             del ps                                 # box holds the only ref
             pst = transpose_flat_of(box)
-            out = mul_flat(plan, pst)              # P (P S)^T == P S P^T
+            out = mul_flat(plan, pst)              # P (P S')^T == P S' P^T
             _sync(out)
             del pst
-            s = scale_pin_flat(out)
-            _sync(s)
+            s = out                                # raw (pre-scale), v+1 rows
             del out
+        s = scale_pin_flat(s)                      # materialise S' once
+        _sync(s)
+        if os.environ.get("GRAPHTPU_SPMM_PROFILE"):
+            print(f"[spmm profile] { {k: round(x, 3) for k, x in _prof.items()} }",
+                  flush=True)
         # post-process: sim(i,i) = 0 (SimRank.java:62-65), trim pad rows.
         # NOT one reshape+slice jit: a flat->2-D reshape XLA cannot fuse
         # materialises a full tiled [v, v] temp even when the consumer is

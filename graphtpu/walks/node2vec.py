@@ -80,7 +80,11 @@ def _second_order_step_rejection(
     # pointer are gathered ONCE per hop and reused by every chunk; the
     # triangle test is a constant-probe EdgeSet lookup.
     b, t = cur.shape[0], max_trials
-    chunk = min(4, t)
+    # chunk = 8: the friendly regimes (T<=10) finish in ONE round like
+    # the old wide panel (chunk 4 cost 3 serialised gather rounds and
+    # measurably slowed p=1,q=2 — BENCH r4: 5.0 -> 3.9 M hops/s), while
+    # the adversarial T=24 still collapses 6 rounds -> <=3
+    chunk = min(8, t)
     n_chunks = -(-t // chunk)
     residual = 1e-3
 

@@ -100,6 +100,7 @@ def n2v_worst_case():
 
 
 def main():
+    import graphtpu  # noqa: F401 - registers the pinned pool member
     import jax
 
     if jax.default_backend() != "cpu":
@@ -136,6 +137,28 @@ def main():
 
     # 4. spmm jit vs eager
     spmm_modes()
+    print(f"[batch] spmm modes done {time.time()-t0:.0f}s", flush=True)
+
+    # 5. per-stage profile of the arxiv spmm iterate (what turned the
+    # r2 254 GB/s into r4's 65 GB/s: stages or kernel?)
+    import graphtpu
+    from graphtpu.core.config import SimRankConfig
+    from graphtpu.simrank.exact import exact_simrank_spmm
+
+    arxiv = "/root/reference/DeepSim/lshrank_data/realdata/arxiv_author_pub.txt"
+    g = graphtpu.read_edgelist_graph(arxiv, n_nodes=38912)
+    os.environ["GRAPHTPU_SPMM_PROFILE"] = "1"
+    tt = time.time()
+    s = exact_simrank_spmm(g, SimRankConfig(iterations=5))
+    s.block_until_ready()
+    print(f"arxiv profiled 5 iters (cold): {time.time()-tt:.1f}s", flush=True)
+    del s
+    tt = time.time()
+    s = exact_simrank_spmm(g, SimRankConfig(iterations=5))
+    s.block_until_ready()
+    print(f"arxiv profiled 5 iters (warm): {time.time()-tt:.1f}s", flush=True)
+    del s
+    os.environ.pop("GRAPHTPU_SPMM_PROFILE", None)
     print(f"[batch] ALL DONE {time.time()-t0:.0f}s", flush=True)
 
 
