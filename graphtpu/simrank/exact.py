@@ -202,6 +202,25 @@ def exact_simrank_spmm(
         def flatten2d(x2d):
             return x2d.reshape(-1)
 
+        # ONE-dispatch transpose: flat -> one tiled [v, v] reshape temp,
+        # then each COLUMN panel transposes + flattens straight into the
+        # output, which is padded to the ((v+1)*v,) mul shape so XLA
+        # aliases it onto the donated input.  Compiled memory analysis
+        # (CPU AOT at arxiv shapes): arg 5.64 GiB (aliased with out) +
+        # temp 5.64 = the 2-iterate ceiling; the DUS-chain form this
+        # replaces needed a second temp (flat relayout) = 3 iterates.
+        # One dispatch vs the split form's 11.
+        @partial(jax.jit, donate_argnums=(0,))
+        def transpose_flat_one(ps):
+            x2 = ps[: v * v].reshape(v, v)
+            parts = []
+            for i in range(n_full + (1 if tp_rem else 0)):
+                b = tp_b if i < n_full else tp_rem
+                lo = i * tp_b
+                parts.append(x2[:, lo : lo + b].T.reshape(-1))
+            parts.append(jnp.zeros((v,), dtype))
+            return jnp.concatenate(parts)
+
 
         # Elementwise stages stay 1-D: the diagonal of a row-major
         # [v, v] lives at flat indices ≡ 0 (mod v+1), so no flat->2-D
@@ -239,12 +258,19 @@ def exact_simrank_spmm(
             def _sync(x):
                 pass
 
+        tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "onejit")
+
         def transpose_flat_of(box):
             # takes OWNERSHIP of ps via a 1-element list so the caller
             # holds no reference during the flatten (a caller-held ps
-            # would make three iterate-sized buffers live); both forms
+            # would make three iterate-sized buffers live); all forms
             # keep peak live memory ~2 iterate-sized buffers
             ps = box.pop()
+            if not eager and tp_impl == "onejit":
+                pst = transpose_flat_one(ps)
+                del ps
+                _sync(pst)
+                return pst
             if eager:
                 # eager DUS cannot run in place (no donation), so build
                 # the column blocks of psT as separate parts and
@@ -300,6 +326,11 @@ def exact_simrank_spmm(
 
             def scale_pin_flat(x):  # noqa: F811
                 return _stage("scale_pin", _orig_scale, x)
+
+            _orig_tp1 = transpose_flat_one
+
+            def transpose_flat_one(ps):  # noqa: F811
+                return _stage("transpose", _orig_tp1, ps)
 
             _orig_flat = flatten2d
 
