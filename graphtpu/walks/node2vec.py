@@ -80,11 +80,14 @@ def _second_order_step_rejection(
     # pointer are gathered ONCE per hop and reused by every chunk; the
     # triangle test is a constant-probe EdgeSet lookup.
     b, t = cur.shape[0], max_trials
-    # chunk = 8: the friendly regimes (T<=10) finish in ONE round like
-    # the old wide panel (chunk 4 cost 3 serialised gather rounds and
-    # measurably slowed p=1,q=2 — BENCH r4: 5.0 -> 3.9 M hops/s), while
-    # the adversarial T=24 still collapses 6 rounds -> <=3
-    chunk = min(8, t)
+    # Friendly regimes (T <= 10) run the full panel in ONE round —
+    # identical work to the pre-adaptive sampler (any chunking there
+    # adds serialised gather rounds whenever >0.1% of walkers reject a
+    # whole chunk, which at p=1,q=2 happens every hop: 0.5^8 ≈ 0.4%;
+    # measured 5.0 -> 3.9 M hops/s).  Adversarially wide panels
+    # (p=q=0.25 ⇒ T=24) run 8-trial chunks with the early exit, so
+    # their typical cost drops to one round instead of always paying T.
+    chunk = t if t <= 10 else 8
     n_chunks = -(-t // chunk)
     residual = 1e-3
 
@@ -132,6 +135,9 @@ def _second_order_step_rejection(
         return (i < n_chunks) & ((i == 0) | (frac_left > residual))
 
     state = (jnp.int32(0), jnp.full((b,), -1, cur.dtype), jnp.zeros(b, bool))
+    if n_chunks == 1:  # one-shot panel: no loop machinery to fuse around
+        _, nxt, _ = round_(state)
+        return nxt
     _, nxt, _ = jax.lax.while_loop(cond, round_, state)
     return nxt
 
