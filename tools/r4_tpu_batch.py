@@ -121,23 +121,35 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "results", "sweeps_r4.jsonl",
     )
-    rs.main()
-    print(f"[batch] engine sweeps done {time.time()-t0:.0f}s", flush=True)
+    try:
+        rs.main()
+        print(f"[batch] engine sweeps done {time.time()-t0:.0f}s", flush=True)
+    except Exception as e:
+        print(f"[batch] engine sweeps FAILED {e!r}", flush=True)
 
     # 2. full-V blog estimator validation at one mid-grid budget
     os.environ["GRAPHTPU_SWEEP_ALGS"] = "uniwalk,topsim_singleSample"
     os.environ["GRAPHTPU_SWEEP_SAMPLES"] = "10000"
     sys.argv = ["run_sweeps.py", "20000", sys.argv[2], "blog"]
-    rs.main()
-    print(f"[batch] full-V blog done {time.time()-t0:.0f}s", flush=True)
+    try:
+        rs.main()
+        print(f"[batch] full-V blog done {time.time()-t0:.0f}s", flush=True)
+    except Exception as e:
+        print(f"[batch] full-V blog FAILED {e!r}", flush=True)
 
     # 3. adaptive-panel worst-case walk throughput
-    n2v_worst_case()
-    print(f"[batch] n2v worst-case done {time.time()-t0:.0f}s", flush=True)
+    try:
+        n2v_worst_case()
+        print(f"[batch] n2v worst-case done {time.time()-t0:.0f}s", flush=True)
+    except Exception as e:
+        print(f"[batch] n2v worst-case FAILED {e!r}", flush=True)
 
     # 4. spmm jit vs eager
-    spmm_modes()
-    print(f"[batch] spmm modes done {time.time()-t0:.0f}s", flush=True)
+    try:
+        spmm_modes()
+        print(f"[batch] spmm modes done {time.time()-t0:.0f}s", flush=True)
+    except Exception as e:
+        print(f"[batch] spmm modes FAILED {e!r}", flush=True)
 
     # 5. per-stage profile of the arxiv spmm iterate (what turned the
     # r2 254 GB/s into r4's 65 GB/s: stages or kernel?)

@@ -164,10 +164,19 @@ def main():
                     continue
                 if only_samples and float(s) not in only_samples:
                     continue
-                for r in fn(
-                    g, gold, samples=[s],
-                    key=jax.random.key(11), sources=sources,
-                ):
+                try:
+                    results = fn(
+                        g, gold, samples=[s],
+                        key=jax.random.key(11), sources=sources,
+                    )
+                except Exception as e:  # pragma: no cover - env failures
+                    # one failing grid point must not kill the sweep —
+                    # log and keep going; the resume key retries it on
+                    # the next invocation (a remote-compile EOF killed a
+                    # whole round-4 batch attempt at one point)
+                    print(f"{name}/{alg}/{s}: FAILED {e!r}", flush=True)
+                    continue
+                for r in results:
                     rec = {"dataset": name, "n_sources": int(ns),
                            **dataclasses.asdict(r)}
                     print(json.dumps(rec), flush=True)
