@@ -190,19 +190,50 @@ def sweep_doublewalk(
     source_tile: int = 64,
 ) -> List[SweepResult]:
     """DoubleRandomWalk sweep — ``Test_u_u_doubleRandomWalk_Sample.java``
-    (active grid samples {5,10,50,100,200,400}, step 1)."""
+    (active grid samples {5,10,50,100,200,400}, step 1).
+
+    At step 1 every grid point shares ONE walk tensor (generated at the
+    grid max) and ONE compiled estimator with the active sample count as
+    a traced scalar — the per-point jits of the naive form each cost a
+    remote compile, and the compile service was observed dying after
+    ~10 of them (round 4)."""
     from graphtpu.core.config import DoubleWalkConfig
-    from graphtpu.simrank.doublewalk import doublewalk_simrank_rows
+    from graphtpu.simrank.doublewalk import (
+        doublewalk_simrank_rows,
+        sample_double_walk_paths,
+        step1_mass_sim,
+    )
 
     results = []
+    shared_ends = None
+    if step == 1:
+        smax = max(max(samples), max(DOUBLEWALK_SAMPLE_GRID))
+        shared_ends = sample_double_walk_paths(g, smax, 1, key)[:, :, 0]
+        src_dev = jax.numpy.asarray(
+            sources
+            if sources is not None
+            else np.arange(g.n_nodes, dtype=np.int32)
+        )
     for s in samples:
         t0 = time.time()
-        sim = doublewalk_simrank_rows(
-            g,
-            DoubleWalkConfig(sample=s, step=step, source_tile=source_tile),
-            key=key,
-            sources=sources,
-        )
+        if shared_ends is not None:
+            sim = np.array(
+                step1_mass_sim(
+                    shared_ends, src_dev, g.n_nodes,
+                    DoubleWalkConfig().c, jax.numpy.int32(s),
+                )
+            )
+            for r_i, sv in enumerate(np.asarray(src_dev)):
+                sim[r_i, sv] = 0.0
+        else:
+            sim = doublewalk_simrank_rows(
+                g,
+                DoubleWalkConfig(
+                    sample=s, step=step, source_tile=source_tile
+                ),
+                key=key,
+                sources=sources,
+            )
         dt = time.time() - t0
         approx = sim_matrix_to_dict(sim, topk, sources=sources)
         r = SweepResult(
@@ -228,16 +259,48 @@ def sweep_doublesample(
     sources: Optional[np.ndarray] = None,
 ) -> List[SweepResult]:
     """TopSim_doubleSample sweep — ``Test_u_u_TopSim_doubleSample.java``
-    (active grid samples {5,10,50}, step 1), sampled endpoint masses."""
+    (active grid samples {5,10,50}, step 1), sampled endpoint masses.
+
+    At step 1 the grid shares one walk tensor + one compiled estimator
+    (see ``sweep_doublewalk``); the estimators coincide there — both
+    score the sampled one-hop endpoint-mass product, which is exactly
+    why the reference's two engines converge to the same limit."""
     from graphtpu.core.config import TopSimConfig
     from graphtpu.simrank.meeting import doublesample_similarity_mc
+    from graphtpu.simrank.doublewalk import step1_mass_sim
+    from graphtpu.walks.walker import uniform_walks
 
     results = []
+    shared_ends = None
+    if step == 1:
+        smax = max(max(samples), max(DOUBLESAMPLE_GRID))
+        starts = jax.numpy.repeat(
+            jax.numpy.arange(g.n_nodes, dtype=jax.numpy.int32), smax
+        )
+        walks = uniform_walks(
+            g, starts, 1, key if key is not None else jax.random.key(0)
+        )
+        shared_ends = walks[:, 1].reshape(g.n_nodes, smax)
+        src_dev = jax.numpy.asarray(
+            sources
+            if sources is not None
+            else np.arange(g.n_nodes, dtype=np.int32)
+        )
     for s in samples:
         t0 = time.time()
-        sim = doublesample_similarity_mc(
-            g, s, TopSimConfig(step=step), key=key, sources=sources
-        )
+        if shared_ends is not None:
+            sim = np.array(
+                step1_mass_sim(
+                    shared_ends, src_dev, g.n_nodes,
+                    TopSimConfig().c, jax.numpy.int32(s),
+                )
+            )
+            for r_i, sv in enumerate(np.asarray(src_dev)):
+                sim[r_i, sv] = 0.0
+        else:
+            sim = doublesample_similarity_mc(
+                g, s, TopSimConfig(step=step), key=key, sources=sources
+            )
         dt = time.time() - t0
         approx = sim_matrix_to_dict(sim, topk, sources=sources)
         r = SweepResult(

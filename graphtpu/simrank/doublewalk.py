@@ -17,6 +17,7 @@ break).  O(V^2 S^2 STEP) like the reference, but on the VPU.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -88,6 +89,57 @@ def doublewalk_simrank(
     return sim
 
 
+@partial(jax.jit, static_argnames=("v", "c"))
+def step1_mass_sim(
+    ends: jax.Array,
+    sources: jax.Array,
+    v: int,
+    c: float,
+    s_active,
+) -> jax.Array:
+    """[n_src, V] one-hop endpoint-mass similarity from the FIRST
+    ``s_active`` columns of ``ends`` (int32[V, S_total]; -1 = dead).
+
+    sim(r, w) = c / s_active^2 * <cnt_r, cnt_w> with cnt the endpoint
+    histogram over the active walks.  ``s_active`` is a TRACED scalar:
+    one compiled executable serves every sample-grid point of the
+    doubleRandomWalk / TopSim_doubleSample sweeps (each remote compile
+    is expensive, and the round-4 sweeps observed the remote compile
+    service dying after ~10 heavy compiles).  Scatter-free: subset
+    histogram via ``segment_sum_1d`` keys, the contraction as one gather
+    per walk slot.
+    """
+    from graphtpu.kernels.topk import segment_sum_1d
+
+    n_src = sources.shape[0]
+    s_total = ends.shape[1]
+    active = jnp.arange(s_total, dtype=jnp.int32) < s_active
+    ends = jnp.where(active[None, :], ends, -1)
+    sub_ends = ends[sources]  # [n_src, S_total]
+    keys = jnp.where(
+        sub_ends >= 0,
+        jnp.arange(n_src, dtype=jnp.int32)[:, None] * v + sub_ends,
+        -1,
+    ).reshape(-1)
+    cnt_sub = segment_sum_1d(
+        keys, jnp.ones_like(keys, jnp.float32), n_src * v
+    ).reshape(n_src, v)
+
+    def add_s(acc, col):
+        term = jnp.where(
+            col[:, None] >= 0,
+            cnt_sub[:, jnp.maximum(col, 0)].T,
+            0.0,
+        )  # [V, n_src]
+        return acc + term, None
+
+    acc, _ = jax.lax.scan(
+        add_s, jnp.zeros((v, n_src), jnp.float32), ends.T
+    )
+    denom = s_active.astype(jnp.float32) ** 2
+    return (c / denom) * acc.T
+
+
 def doublewalk_simrank_rows(
     g: Graph,
     cfg: DoubleWalkConfig = DoubleWalkConfig(),
@@ -118,42 +170,13 @@ def doublewalk_simrank_rows(
     paths = sample_double_walk_paths(g, cfg.sample, cfg.step, key)
 
     if cfg.step == 1:
-        from graphtpu.kernels.topk import segment_sum_1d
-
         ends = paths[:, :, 0]  # [V, S] endpoint after one hop (-1 dead)
-        n_src = len(sources)
-
-        @jax.jit
-        def run(ends, src):
-            # endpoint histogram of the SUBSET rows, scatter-free:
-            # key = subset-row * V + endpoint  ->  segment_sum_1d
-            sub_ends = ends[src]  # [n_src, S]
-            keys = jnp.where(
-                sub_ends >= 0,
-                jnp.arange(n_src, dtype=jnp.int32)[:, None] * v + sub_ends,
-                -1,
-            ).reshape(-1)
-            cnt_sub = segment_sum_1d(
-                keys, jnp.ones_like(keys, jnp.float32), n_src * v
-            ).reshape(n_src, v)
-            # sim(r, w) = C/S^2 * <cnt_r, cnt_w> = C/S^2 * sum_s
-            # cnt_sub[r, ends[w, s]] — S gathers instead of a dense
-            # [V, V] histogram (TPU scatters with V*S update rows
-            # serialise; gathers don't)
-            def add_s(acc, col):
-                term = jnp.where(
-                    col[:, None] >= 0,
-                    cnt_sub[:, jnp.maximum(col, 0)].T,
-                    0.0,
-                )  # [V, n_src]
-                return acc + term, None
-
-            acc, _ = jax.lax.scan(
-                add_s, jnp.zeros((v, n_src), jnp.float32), ends.T
+        sim = np.array(
+            step1_mass_sim(
+                ends, jnp.asarray(sources), v, cfg.c,
+                jnp.int32(cfg.sample),
             )
-            return (cfg.c / (cfg.sample * cfg.sample)) * acc.T
-
-        sim = np.array(run(ends, jnp.asarray(sources)))
+        )
         for r, s in enumerate(sources):
             sim[r, s] = 0.0
         return sim
