@@ -119,6 +119,106 @@ def _vpu_only_kernel(c, nbuf, slots_ref, wts_ref, pos_ref, table_ref,
         cp.wait()
 
 
+def _fast_unroll_kernel(c, nbuf, slots_ref, wts_ref, pos_ref,
+                        table_ref, out_ref, buf, acc, rd_sems, wr_sems,
+                        state):
+    """The fast kernel with the item loop unrolled G-wide: the scalar
+    core runs one fori_loop step per G items (straightline per-item
+    bodies), amortising loop-carry + scheduling overhead.  Unweighted
+    form (raw accumulate; row scale skipped — rate measurement only,
+    not a drop-in)."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tb = slots_ref.shape[0]
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        state[0] = -1
+        state[1] = 0
+        state[2] = 0
+        state[3] = 0
+
+    def rd_dma(t):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(slots_ref[t] * c, c)],
+            buf.at[pl.ds((t % nbuf) * c, c)],
+            rd_sems.at[t % nbuf],
+        )
+
+    for t in range(nbuf):
+        rd_dma(t).start()
+
+    def wr_dma(zone, row):
+        return pltpu.make_async_copy(
+            acc.at[pl.ds(zone * c, c)],
+            out_ref.at[pl.ds(row * c, c)],
+            wr_sems.at[zone],
+        )
+
+    def one_item(t):
+        row_pos = pos_ref[t]
+        prev = state[0]
+        zone = state[1]
+        is_new = row_pos != prev
+
+        @pl.when(is_new)
+        def _():
+            @pl.when(prev >= 0)
+            def _():
+                wr_dma(zone, prev).start()
+                state[2 + zone] = 1
+
+            nz = 1 - zone
+
+            @pl.when(state[2 + nz] == 1)
+            def _():
+                wr_dma(nz, 0).wait()
+                state[2 + nz] = 0
+
+            state[0] = row_pos
+            state[1] = nz
+
+        z = state[1]
+        rd_dma(t).wait()
+        row = buf[pl.ds((t % nbuf) * c, c)]
+
+        @pl.when(is_new)
+        def _():
+            acc[pl.ds(z * c, c)] = row
+
+        @pl.when(jnp.logical_not(is_new))
+        def _():
+            acc[pl.ds(z * c, c)] = acc[pl.ds(z * c, c)] + row
+
+        @pl.when(t + nbuf < tb)
+        def _():
+            rd_dma(t + nbuf).start()
+
+    def body(i, _):
+        for g in range(8):
+            one_item(i * 8 + g)
+        return 0
+
+    lax.fori_loop(0, tb // 8, body, 0)
+
+    @pl.when(step == nsteps - 1)
+    def _():
+        zone = state[1]
+        wr_dma(zone, state[0]).start()
+        wr_dma(zone, 0).wait()
+        nz = 1 - zone
+
+        @pl.when(state[2 + nz] == 1)
+        def _():
+            wr_dma(nz, 0).wait()
+            state[2 + nz] = 0
+
+
 def variant_call(kernel_fn, stream, x, c, nbuf):
     import jax
     import jax.numpy as jnp
@@ -211,7 +311,8 @@ def main():
                         print(f"{key}: FAILED {e!r}", flush=True)
             # stripped variants at nbuf=16 on this stream
             for vname, kfn in (("dmaonly", _dma_only_kernel),
-                               ("vpuonly", _vpu_only_kernel)):
+                               ("vpuonly", _vpu_only_kernel),
+                               ("unroll8", _fast_unroll_kernel)):
                 key = f"{name}_b{block}_{vname}"
                 try:
                     dt = timed(
