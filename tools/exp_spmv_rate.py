@@ -284,12 +284,14 @@ def main():
         def timed(fn, *a, reps=3, **kw):
             r = fn(*a, **kw)
             jax.block_until_ready(r)
-            best = 1e9
+            del r  # a held result + the next call's output + x would
+            best = 1e9  # exceed HBM (2 x 6 GB iterates at arxiv)
             for _ in range(reps):
                 t0 = time.time()
                 r = fn(*a, **kw)
                 jax.block_until_ready(r)
                 best = min(best, time.time() - t0)
+                del r
             return best
 
         for block in (1024, 8192):
