@@ -103,10 +103,19 @@ def test_round4_engine_families_present():
         p2 = dsamp[max(dsamp)]["precision"]
         assert abs(p1 - p2) < 0.08, (ds, p1, p2)
 
-    # Dev's verified candidates must sit near the step-truncation plateau
+    # Dev's verified candidates must sit at the dataset's own
+    # step-truncation plateau — i.e. match topsim_singleSample at the
+    # same budget (Dev re-ranks phase-1 candidates, so it cannot beat
+    # them; a large deficit would mean the meeting-score verification is
+    # broken).  blog's plateau is ~0.88, moreno's ~0.984.
     for (ds, a), rows in by.items():
-        if a == "topsim_dev":
-            assert rows[max(rows)]["precision"] >= 0.9, (ds, rows)
+        if a != "topsim_dev":
+            continue
+        single = by.get((ds, "topsim_singleSample"))
+        assert single, f"no singleSample anchor for {ds}"
+        anchor = single[min(single, key=lambda s: abs(s - max(rows)))]
+        p_dev = rows[max(rows)]["precision"]
+        assert p_dev >= anchor["precision"] - 0.02, (ds, p_dev, anchor)
 
 
 def _load_rows():
