@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -255,7 +256,7 @@ def build_spmv_stream(
 
 
 def _spmv_kernel(
-    c, nbuf, table_scale, slots_ref, wts_ref, pos_ref, table_ref, out_ref, buf, acc, rd_sems, wr_sems, state
+    c, nbuf, table_scale, unroll, slots_ref, wts_ref, pos_ref, table_ref, out_ref, buf, acc, rd_sems, wr_sems, state
 ):
     """Streaming CSR SpMV: DMA each item's source row through an NBUF ring,
     Kahan-accumulate runs of equal ``pos`` in a double-buffered VMEM
@@ -304,7 +305,7 @@ def _spmv_kernel(
             wr_sems.at[zone],
         )
 
-    def body(t, _):
+    def one_item(t):
         row_pos = pos_ref[t]
         prev = state[0]
         zone = state[1]
@@ -357,9 +358,17 @@ def _spmv_kernel(
         def _():
             rd_dma(t + nbuf).start()
 
+    # ``unroll`` straightline item bodies per loop step: the scalar
+    # core's loop-carry + branch scheduling overhead amortises G-wide
+    def body(i, _):
+        if unroll == 1:
+            one_item(i)
+        else:
+            for g in range(unroll):
+                one_item(i * unroll + g)
         return 0
 
-    lax.fori_loop(0, tb, body, 0)
+    lax.fori_loop(0, tb // unroll, body, 0)
 
     @pl.when(step == nsteps - 1)
     def _():
@@ -376,8 +385,8 @@ def _spmv_kernel(
 
 
 def _spmv_kernel_fast(
-    c, nbuf, weighted, table_scale, slots_ref, wts_ref, pos_ref, scl_ref,
-    table_ref, out_ref, buf, acc, rd_sems, wr_sems, state, fstate
+    c, nbuf, weighted, table_scale, unroll, slots_ref, wts_ref, pos_ref,
+    scl_ref, table_ref, out_ref, buf, acc, rd_sems, wr_sems, state, fstate
 ):
     """Streaming CSR SpMV, throughput variant: plain f32 run accumulation
     with the 1/Σw row scale applied ONCE at row flush (a per-ROW VPU pass
@@ -428,7 +437,7 @@ def _spmv_kernel_fast(
         wr_dma(zone, row).start()
         state[2 + zone] = 1
 
-    def body(t, _):
+    def one_item(t):
         row_pos = pos_ref[t]
         prev = state[0]
         zone = state[1]
@@ -474,9 +483,15 @@ def _spmv_kernel_fast(
         def _():
             rd_dma(t + nbuf).start()
 
+    def body(i, _):
+        if unroll == 1:
+            one_item(i)
+        else:
+            for g in range(unroll):
+                one_item(i * unroll + g)
         return 0
 
-    lax.fori_loop(0, tb, body, 0)
+    lax.fori_loop(0, tb // unroll, body, 0)
 
     @pl.when(step == nsteps - 1)
     def _():
@@ -521,6 +536,7 @@ def spmv_pallas_flat(
     interpret: bool = False,
     mode: str = "kahan",
     table_scale: float | None = None,
+    unroll: int | None = None,
 ) -> jax.Array:
     """Flat-layout form of :func:`spmv_pallas`: ``x_flat`` is row-major
     [>=V, C] flattened to 1-D, returns the raw ((V+1)*C,) output (row V is
@@ -544,14 +560,17 @@ def spmv_pallas_flat(
     v = stream.n_nodes
     assert x.ndim == 1 and x.size >= v * c, (x.shape, v, c)
     assert c % 1024 == 0, c
+    if unroll is None:
+        unroll = int(os.environ.get("GRAPHTPU_SPMV_UNROLL", "1"))
     tb = stream.block_items
+    assert tb % unroll == 0, (tb, unroll)
     t_total = stream.slots.shape[0]
     grid = (t_total // tb,)
     smem = lambda: pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM)
     if mode == "fast":
         kernel = pl.pallas_call(
             _ft.partial(_spmv_kernel_fast, c, nbuf, not stream.uniform,
-                        table_scale),
+                        table_scale, unroll),
             out_shape=jax.ShapeDtypeStruct(((v + 1) * c,), x.dtype),
             grid=grid,
             in_specs=[smem(), smem(), smem(), smem(),
@@ -581,7 +600,7 @@ def spmv_pallas_flat(
             stream.slots, stream.raw_wts, stream.pos, stream.scales, x
         )
     kernel = pl.pallas_call(
-        _ft.partial(_spmv_kernel, c, nbuf, table_scale),
+        _ft.partial(_spmv_kernel, c, nbuf, table_scale, unroll),
         out_shape=jax.ShapeDtypeStruct(((v + 1) * c,), x.dtype),
         grid=grid,
         in_specs=[smem(), smem(), smem(),
