@@ -311,6 +311,55 @@ def main():
                               f"{out[key]} ns/item", flush=True)
                     except Exception as e:
                         print(f"{key}: FAILED {e!r}", flush=True)
+            # transpose strategies at this shape (suspect: the XLA flat
+            # transpose lowers to gathers; decisive for the 1.6 s/iter
+            # blog anomaly)
+            if block == 1024:
+                import jax.numpy as jnp
+                from functools import partial as fpart
+
+                dtype = jnp.float32
+                tp_b = min(v, 4096)
+                n_full, tp_rem = divmod(v, tp_b)
+
+                @fpart(jax.jit, donate_argnums=(0,))
+                def tp_onejit(ps):
+                    x2 = ps[: v * v].reshape(v, v)
+                    parts = []
+                    for i in range(n_full + (1 if tp_rem else 0)):
+                        b2 = tp_b if i < n_full else tp_rem
+                        lo = i * tp_b
+                        parts.append(x2[:, lo : lo + b2].T.reshape(-1))
+                    parts.append(jnp.zeros((v,), dtype))
+                    return jnp.concatenate(parts)
+
+                @fpart(jax.jit, donate_argnums=(0,))
+                def tp_plain2d(ps):
+                    # 2-D XLA transpose (layout-level) + relayouts
+                    return jnp.pad(
+                        ps[: v * v].reshape(v, v).T.reshape(-1), (0, v)
+                    )
+
+                for tname, tfn in (("tp_onejit", tp_onejit),
+                                   ("tp_plain2d", tp_plain2d)):
+                    key = f"{name}_{tname}"
+                    try:
+                        xx = jnp.ones(((v + 1) * v,), jnp.float32)
+                        r = tfn(xx)
+                        jax.block_until_ready(r)
+                        best = 1e9
+                        for _ in range(3):
+                            xx2 = r  # donate the previous output
+                            t0 = time.time()
+                            r = tfn(xx2)
+                            jax.block_until_ready(r)
+                            best = min(best, time.time() - t0)
+                        out[key] = round(best * 1e3)
+                        print(f"{key}: {best*1e3:.0f} ms", flush=True)
+                        del r
+                    except Exception as e:
+                        print(f"{key}: FAILED {e!r}", flush=True)
+
             # stripped variants at nbuf=16 on this stream
             for vname, kfn in (("dmaonly", _dma_only_kernel),
                                ("vpuonly", _vpu_only_kernel),
