@@ -258,7 +258,13 @@ def exact_simrank_spmm(
             def _sync(x):
                 pass
 
-        tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "onejit")
+        tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "pallas")
+
+        from graphtpu.kernels.transpose import transpose_flat_pallas
+
+        @maybe_jit
+        def transpose_pallas_fn(p):
+            return transpose_flat_pallas(p, v, interpret=interpret)
 
         def transpose_flat_of(box):
             # takes OWNERSHIP of ps via a 1-element list so the caller
@@ -266,6 +272,14 @@ def exact_simrank_spmm(
             # would make three iterate-sized buffers live); all forms
             # keep peak live memory ~2 iterate-sized buffers
             ps = box.pop()
+            if not eager and tp_impl == "pallas":
+                # two clean memory passes (tile DMAs + VPU transpose);
+                # XLA's flat-transpose lowering gathers (>1 s for a
+                # 0.5 GB iterate, tools/exp_spmv_rate.py)
+                pst = transpose_pallas_fn(ps)
+                del ps
+                _sync(pst)
+                return pst
             if not eager and tp_impl == "onejit":
                 pst = transpose_flat_one(ps)
                 del ps
@@ -331,6 +345,11 @@ def exact_simrank_spmm(
 
             def transpose_flat_one(ps):  # noqa: F811
                 return _stage("transpose", _orig_tp1, ps)
+
+            _orig_tpp = transpose_pallas_fn
+
+            def transpose_pallas_fn(ps):  # noqa: F811
+                return _stage("transpose", _orig_tpp, ps)
 
             _orig_flat = flatten2d
 

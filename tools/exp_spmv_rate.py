@@ -340,7 +340,18 @@ def main():
                         ps[: v * v].reshape(v, v).T.reshape(-1), (0, v)
                     )
 
-                for tname, tfn in (("tp_onejit", tp_onejit),
+                from graphtpu.kernels.transpose import (
+                    transpose_flat_pallas,
+                )
+
+                tp_pallas = jax.jit(
+                    lambda ps: transpose_flat_pallas(
+                        ps, v, interpret=INTERP
+                    )
+                )
+
+                for tname, tfn in (("tp_pallas", tp_pallas),
+                                   ("tp_onejit", tp_onejit),
                                    ("tp_plain2d", tp_plain2d)):
                     key = f"{name}_{tname}"
                     try:
