@@ -55,7 +55,7 @@ def _transpose_kernel(v, tb, nbuf, in_ref, out_ref, buf, vt, sems, wsems):
 
         return 0
 
-    lax.fori_loop(0, tb, rbody, 0, unroll=8)
+    lax.fori_loop(0, tb, rbody, 0)
 
     # VPU transpose of the staged tile
     vt[...] = buf[...].reshape(tb, tb).T.reshape(-1)
@@ -80,7 +80,7 @@ def _transpose_kernel(v, tb, nbuf, in_ref, out_ref, buf, vt, sems, wsems):
 
         return 0
 
-    lax.fori_loop(0, tb, wbody, 0, unroll=8)
+    lax.fori_loop(0, tb, wbody, 0)
 
 
 def transpose_flat_pallas(

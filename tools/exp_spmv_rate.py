@@ -311,10 +311,28 @@ def main():
                               f"{out[key]} ns/item", flush=True)
                     except Exception as e:
                         print(f"{key}: FAILED {e!r}", flush=True)
+            # stripped variants at nbuf=16 on this stream
+            for vname, kfn in (("dmaonly", _dma_only_kernel),
+                               ("vpuonly", _vpu_only_kernel),
+                               ("unroll8", _fast_unroll_kernel)):
+                key = f"{name}_b{block}_{vname}"
+                try:
+                    dt = timed(
+                        jax.jit(lambda xx: variant_call(
+                            kfn, stream, xx, v, 16)), x
+                    )
+                    out[key] = round(dt / n_items * 1e9)
+                    print(f"{key}: {dt*1e3:.0f} ms = {out[key]} ns/item",
+                          flush=True)
+                except Exception as e:
+                    print(f"{key}: FAILED {e!r}", flush=True)
             # transpose strategies at this shape (suspect: the XLA flat
             # transpose lowers to gathers; decisive for the 1.6 s/iter
-            # blog anomaly)
-            if block == 1024:
+            # blog anomaly).  Runs on the LAST block pass, with the
+            # kernel operand freed first — x + in + out + temps would
+            # exceed HBM at arxiv (observed RESOURCE_EXHAUSTED).
+            if block == 8192:
+                del x
                 import jax.numpy as jnp
                 from functools import partial as fpart
 
@@ -371,21 +389,6 @@ def main():
                     except Exception as e:
                         print(f"{key}: FAILED {e!r}", flush=True)
 
-            # stripped variants at nbuf=16 on this stream
-            for vname, kfn in (("dmaonly", _dma_only_kernel),
-                               ("vpuonly", _vpu_only_kernel),
-                               ("unroll8", _fast_unroll_kernel)):
-                key = f"{name}_b{block}_{vname}"
-                try:
-                    dt = timed(
-                        jax.jit(lambda xx: variant_call(
-                            kfn, stream, xx, v, 16)), x
-                    )
-                    out[key] = round(dt / n_items * 1e9)
-                    print(f"{key}: {dt*1e3:.0f} ms = {out[key]} ns/item",
-                          flush=True)
-                except Exception as e:
-                    print(f"{key}: FAILED {e!r}", flush=True)
     print(json.dumps(out), flush=True)
 
 
