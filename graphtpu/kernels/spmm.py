@@ -305,6 +305,11 @@ def _spmv_kernel(
             wr_sems.at[zone],
         )
 
+    if table_scale is not None:
+        # generated ONCE per grid step and reused by every item (an
+        # in-loop iota materialises per item and costs a full VPU pass)
+        col_iota = lax.broadcasted_iota(jnp.int32, (1, c), 1).reshape(c)
+
     def one_item(t):
         row_pos = pos_ref[t]
         prev = state[0]
@@ -333,9 +338,8 @@ def _spmv_kernel(
         rd_dma(t).wait()
         raw = buf[pl.ds((t % nbuf) * c, c)]
         if table_scale is not None:
-            col = lax.broadcasted_iota(jnp.int32, (1, c), 1).reshape(c)
             raw = jnp.where(
-                col == slots_ref[t], 1.0, table_scale * raw
+                col_iota == slots_ref[t], 1.0, table_scale * raw
             )
         row = raw * wts_ref[t]
 
@@ -437,6 +441,9 @@ def _spmv_kernel_fast(
         wr_dma(zone, row).start()
         state[2 + zone] = 1
 
+    if table_scale is not None:
+        col_iota = lax.broadcasted_iota(jnp.int32, (1, c), 1).reshape(c)
+
     def one_item(t):
         row_pos = pos_ref[t]
         prev = state[0]
@@ -464,9 +471,8 @@ def _spmv_kernel_fast(
         rd_dma(t).wait()
         row = buf[pl.ds((t % nbuf) * c, c)]
         if table_scale is not None:
-            col = lax.broadcasted_iota(jnp.int32, (1, c), 1).reshape(c)
             row = jnp.where(
-                col == slots_ref[t], 1.0, table_scale * row
+                col_iota == slots_ref[t], 1.0, table_scale * row
             )
         if weighted:
             row = row * wts_ref[t]

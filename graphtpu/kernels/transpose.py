@@ -120,6 +120,10 @@ def transpose_flat_pallas(
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             dimension_semantics=("arbitrary", "arbitrary"),
+            # 2 x tb^2 x 4 B scratch, double-buffered by Mosaic across
+            # grid steps: the default 16 MB scoped-vmem cap rejects even
+            # tb=1024 (observed on hardware); the chip has 128 MB
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )

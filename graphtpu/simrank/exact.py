@@ -23,6 +23,7 @@ ICI collectives.
 
 from __future__ import annotations
 
+import functools
 import os
 from functools import partial
 from typing import Optional, Tuple
@@ -85,6 +86,127 @@ def exact_simrank(
     return _simrank_iterate(w, cfg.c, cfg.iterations, matmul_precision)
 
 
+@functools.lru_cache(maxsize=8)
+def _spmm_stages(v, v_real, c, spmv_mode, interpret, dtype, eager, tp_impl):
+    """Stage executables for the streaming SimRank loop, CACHED across
+    ``exact_simrank_spmm`` calls.
+
+    Round-4 lesson: defining these jits inside the driver meant every
+    call re-created fresh jit objects, so "warm" timings re-lowered and
+    re-requested remote compiles for seven executables per call — the
+    742 ms (arxiv) / 1674 ms (blog) "per-iteration" numbers were mostly
+    compile machinery (the kernels themselves run 70-80 ms/product and
+    the transposes 34-133 ms; tools/exp_spmv_rate.py).
+
+    S stays a FLAT (row-major) 1-D array between stages, each stage its
+    own donated jit — flat operands skip the tiled->linear relayout XLA
+    inserts at the pallas boundary, and donation caps every stage at TWO
+    live iterate-sized buffers.  NO donation on the muls: x is the
+    kernel's random-access TABLE.
+    """
+    from graphtpu.kernels.spmm import spmv_pallas_flat
+    from graphtpu.kernels.transpose import transpose_flat_pallas
+
+    maybe_jit = (lambda f: f) if eager else jax.jit
+
+    @maybe_jit
+    def mul_flat(p, x_flat):
+        # ((v+1)*v,) out; row v is the pad-item dummy row, never read
+        # back (all stream slots < v)
+        return spmv_pallas_flat(
+            p, x_flat, v, mode=spmv_mode, interpret=interpret
+        )
+
+    @maybe_jit
+    def mul_pin_flat(p, out_flat):
+        # first product of an iteration, consuming the PREVIOUS
+        # iteration's raw output: the where(diag, 1, c*S) table
+        # transform runs inside the kernel's row gathers (table_scale),
+        # deleting the iterate-sized scale_pin read+write pass
+        return spmv_pallas_flat(
+            p, out_flat, v, mode=spmv_mode, interpret=interpret,
+            table_scale=c,
+        )
+
+    tp_b = min(v, 4096)
+    n_full, tp_rem = divmod(v, tp_b)
+
+    # ONE-dispatch XLA transpose: flat -> one tiled [v, v] reshape temp,
+    # then each COLUMN panel transposes + flattens straight into the
+    # output, padded to the ((v+1)*v,) mul shape so XLA aliases it onto
+    # the donated input (peak = 2 iterates, AOT-verified).
+    @partial(jax.jit, donate_argnums=(0,))
+    def transpose_onejit(ps):
+        x2 = ps[: v * v].reshape(v, v)
+        parts = []
+        for i in range(n_full + (1 if tp_rem else 0)):
+            b = tp_b if i < n_full else tp_rem
+            lo = i * tp_b
+            parts.append(x2[:, lo : lo + b].T.reshape(-1))
+        parts.append(jnp.zeros((v,), dtype))
+        return jnp.concatenate(parts)
+
+    @maybe_jit
+    def transpose_pallas(ps):
+        # two clean memory passes (tile DMAs + VPU transpose)
+        return transpose_flat_pallas(ps, v, interpret=interpret)
+
+    # Elementwise stages stay 1-D: the diagonal of a row-major [v, v]
+    # lives at flat indices ≡ 0 (mod v+1), so no flat->2-D reshape is
+    # ever needed.
+    @maybe_jit
+    def scale_pin_flat(out_flat):
+        # c * out, diag pinned to 1 (SimRank.java:27-30); trims the
+        # dummy row; runs ONCE per call (the in-loop form is fused into
+        # mul_pin_flat)
+        s2 = out_flat[: v * v]
+        i = jax.lax.iota(jnp.int32, v * v)
+        return jnp.where(i % (v + 1) == 0, 1.0, c * s2).astype(dtype)
+
+    @maybe_jit
+    def init_flat(one):
+        # ``one`` is a traced scalar: a jit whose output depends only on
+        # constants folds the 1.5e9-element iota client-side (minutes of
+        # CPU; see CLAUDE.md)
+        i = jax.lax.iota(jnp.int32, v * v)
+        return jnp.where(i % (v + 1) == 0, one, 0.0).astype(dtype)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def zero_diag_flat(s_flat):
+        i = jax.lax.iota(jnp.int32, v * v)
+        return jnp.where(i % (v + 1) == 0, 0.0, s_flat)
+
+    def _out_panel_fn(b):
+        @partial(jax.jit, donate_argnums=(0,))
+        def panel(out2d, s_flat, lo):
+            p = jax.lax.dynamic_slice(s_flat, (lo * v,), (b * v,))
+            return jax.lax.dynamic_update_slice(
+                out2d, p.reshape(b, v)[:, :v_real], (lo, jnp.int32(0))
+            )
+
+        return panel
+
+    fp_b = min(v_real, tp_b)
+    nf, rem = divmod(v_real, fp_b)
+    return {
+        "mul_flat": mul_flat,
+        "mul_pin_flat": mul_pin_flat,
+        "transpose_onejit": transpose_onejit,
+        "transpose_pallas": transpose_pallas,
+        "scale_pin_flat": scale_pin_flat,
+        "init_flat": init_flat,
+        "zero_diag_flat": zero_diag_flat,
+        "out_panel_full": _out_panel_fn(fp_b),
+        "out_panel_rem": _out_panel_fn(rem) if rem else None,
+        "tp_b": tp_b,
+        "n_full": n_full,
+        "tp_rem": tp_rem,
+        "fp_b": fp_b,
+        "nf": nf,
+        "rem": rem,
+    }
+
+
 def exact_simrank_spmm(
     g: Graph,
     cfg: SimRankConfig = SimRankConfig(),
@@ -134,116 +256,12 @@ def exact_simrank_spmm(
         g = pad_graph_nodes(g, v)
         plan = build_spmv_stream(g, weighted=weighted)
 
-        # S stays a FLAT (row-major) 1-D array between stages, and each
-        # stage is its own donated jit.  Two reasons, both HBM (at arxiv
-        # a [V, V] f32 iterate is 5.6 GB and the chip holds 15.75 GB):
-        #   * flat operands skip the tiled->linear relayout copy XLA
-        #     inserts at the pallas boundary for [V, V] inputs;
-        #   * donation caps every stage at TWO live iterate-sized
-        #     buffers (in + out).  The fused one-jit form peaked at
-        #     3 x 5.6 GB of HLO temps + the argument and stopped
-        #     compiling when the runtime's reserved HBM grew.
-        # NO donation on the mul: x is the kernel's TABLE (random-access
-        # reads interleaved with output writes) — aliasing in==out would
-        # corrupt rows, and XLA's protective copy would cost the very
-        # 5.6 GB temp this layout exists to avoid.  Buffers are instead
-        # released between stages with explicit ``del``.
-        # GRAPHTPU_EAGER=1 drops the jit wrappers: per-op dispatch is the
-        # only execution mode observed reliable on the post-restart
-        # remote runtime (composed jit executables hang at execution).
         eager = bool(os.environ.get("GRAPHTPU_EAGER"))
-        maybe_jit = (lambda f: f) if eager else jax.jit
-
-        @maybe_jit
-        def mul_flat(p, x_flat):
-            # ((v+1)*v,) out; row v is the pad-item dummy row, never
-            # read back (all stream slots < v)
-            return spmv_pallas_flat(
-                p, x_flat, v, mode=spmv_mode, interpret=interpret
-            )
-
-        @maybe_jit
-        def mul_pin_flat(p, out_flat):
-            # first product of an iteration, consuming the PREVIOUS
-            # iteration's raw output: the where(diag, 1, c*S) table
-            # transform runs inside the kernel's row gathers
-            # (table_scale), deleting the iterate-sized scale_pin
-            # read+write pass from the loop (round-4 spmm profile:
-            # stages, not the kernel, ate the r2->r3 bandwidth)
-            return spmv_pallas_flat(
-                p, out_flat, v, mode=spmv_mode, interpret=interpret,
-                table_scale=cfg.c,
-            )
-
-        # Transpose without ever holding 3 iterate-sized buffers: XLA
-        # materialises a full tiled [v, v] HLO temp for ANY flat->2-D
-        # reshape it cannot fuse (measured: reshape.2 5.64 GB at arxiv
-        # even when the consumer is a thin column slice).  So the
-        # transpose runs as row-PANEL updates into a 2-D tiled target
-        # (contiguous flat slices DO fuse), then one flatten jit whose
-        # only live buffers are its input and output.
-        tp_b = min(v, 4096)
-        n_full, tp_rem = divmod(v, tp_b)
-
-        def _panel_fn(b):
-            @partial(jax.jit, donate_argnums=(0,))
-            def panel(out2d, ps_flat, lo):
-                p = jax.lax.dynamic_slice(ps_flat, (lo * v,), (b * v,))
-                return jax.lax.dynamic_update_slice(
-                    out2d, p.reshape(b, v).T, (jnp.int32(0), lo)
-                )
-
-            return panel
-
-        panel_full = _panel_fn(tp_b)
-        panel_rem = _panel_fn(tp_rem) if tp_rem else None
-
-        @maybe_jit
-        def flatten2d(x2d):
-            return x2d.reshape(-1)
-
-        # ONE-dispatch transpose: flat -> one tiled [v, v] reshape temp,
-        # then each COLUMN panel transposes + flattens straight into the
-        # output, which is padded to the ((v+1)*v,) mul shape so XLA
-        # aliases it onto the donated input.  Compiled memory analysis
-        # (CPU AOT at arxiv shapes): arg 5.64 GiB (aliased with out) +
-        # temp 5.64 = the 2-iterate ceiling; the DUS-chain form this
-        # replaces needed a second temp (flat relayout) = 3 iterates.
-        # One dispatch vs the split form's 11.
-        @partial(jax.jit, donate_argnums=(0,))
-        def transpose_flat_one(ps):
-            x2 = ps[: v * v].reshape(v, v)
-            parts = []
-            for i in range(n_full + (1 if tp_rem else 0)):
-                b = tp_b if i < n_full else tp_rem
-                lo = i * tp_b
-                parts.append(x2[:, lo : lo + b].T.reshape(-1))
-            parts.append(jnp.zeros((v,), dtype))
-            return jnp.concatenate(parts)
-
-
-        # Elementwise stages stay 1-D: the diagonal of a row-major
-        # [v, v] lives at flat indices ≡ 0 (mod v+1), so no flat->2-D
-        # reshape (which XLA materialises as a tiled 5.6 GB temp) is
-        # ever needed.
-        @maybe_jit
-        def scale_pin_flat(out_flat):
-            # c * out, diag pinned to 1 between iterations
-            # (SimRank.java:27-30); trims the dummy row so every
-            # mul_flat call shares one (v*v,) input signature
-            s2 = out_flat[: v * v]
-            i = jax.lax.iota(jnp.int32, v * v)
-            return jnp.where(i % (v + 1) == 0, 1.0, cfg.c * s2).astype(dtype)
-
-        @maybe_jit
-        def init_flat(one):
-            # ``one`` is a traced scalar: a jit whose output depends only
-            # on constants folds the 1.5e9-element iota client-side
-            # (minutes of CPU; see CLAUDE.md)
-            i = jax.lax.iota(jnp.int32, v * v)
-            return jnp.where(i % (v + 1) == 0, one, 0.0).astype(dtype)
-
+        tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "pallas")
         assert v * v < 2**31, "flat int32 iota overflow; shard instead"
+        st = _spmm_stages(
+            v, v_real, cfg.c, spmv_mode, interpret, dtype, eager, tp_impl
+        )
 
         # GRAPHTPU_HARD_SYNC=1: drain the async queue after every stage
         # with a 1-element readback.  Under the remote runtime
@@ -258,61 +276,12 @@ def exact_simrank_spmm(
             def _sync(x):
                 pass
 
-        tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "pallas")
-
-        from graphtpu.kernels.transpose import transpose_flat_pallas
-
-        @maybe_jit
-        def transpose_pallas_fn(p):
-            return transpose_flat_pallas(p, v, interpret=interpret)
-
-        def transpose_flat_of(box):
-            # takes OWNERSHIP of ps via a 1-element list so the caller
-            # holds no reference during the flatten (a caller-held ps
-            # would make three iterate-sized buffers live); all forms
-            # keep peak live memory ~2 iterate-sized buffers
-            ps = box.pop()
-            if not eager and tp_impl == "pallas":
-                # two clean memory passes (tile DMAs + VPU transpose);
-                # XLA's flat-transpose lowering gathers (>1 s for a
-                # 0.5 GB iterate, tools/exp_spmv_rate.py)
-                pst = transpose_pallas_fn(ps)
-                del ps
-                _sync(pst)
-                return pst
-            if not eager and tp_impl == "onejit":
-                pst = transpose_flat_one(ps)
-                del ps
-                _sync(pst)
-                return pst
-            if eager:
-                # eager DUS cannot run in place (no donation), so build
-                # the column blocks of psT as separate parts and
-                # concatenate: parts total one iterate while ps lives
-                parts = []
-                for i in range(n_full + (1 if panel_rem is not None else 0)):
-                    b = tp_b if i < n_full else tp_rem
-                    seg = jax.lax.dynamic_slice(
-                        ps, (i * tp_b * v,), (b * v,)
-                    )
-                    parts.append(seg.reshape(b, v).T)  # [v, b]
-                    _sync(parts[-1])
-                del ps
-                out2d = jnp.concatenate(parts, axis=1)
-                _sync(out2d)
-                del parts
-            else:
-                out2d = jnp.zeros((v, v), dtype)   # (P S)^T, tiled target
-                for i in range(n_full):
-                    out2d = panel_full(out2d, ps, jnp.int32(i * tp_b))
-                    _sync(out2d)
-                if panel_rem is not None:
-                    out2d = panel_rem(out2d, ps, jnp.int32(n_full * tp_b))
-                    _sync(out2d)
-                del ps
-            pst = flatten2d(out2d)
-            _sync(pst)
-            return pst
+        mul_flat = st["mul_flat"]
+        mul_pin_flat = st["mul_pin_flat"]
+        scale_pin_flat = st["scale_pin_flat"]
+        tp_stage = st["transpose_pallas" if tp_impl == "pallas"
+                      else "transpose_onejit"]
+        tp_b, n_full, tp_rem = st["tp_b"], st["n_full"], st["tp_rem"]
 
         if os.environ.get("GRAPHTPU_SPMM_PROFILE"):
             # per-stage wall times (forces a readback after each stage);
@@ -321,51 +290,54 @@ def exact_simrank_spmm(
 
             _prof: dict = {}
 
-            def _stage(name, f, *a):
-                t0 = _time.time()
-                r = f(*a)
-                float(r.reshape(-1)[0])
-                _prof[name] = _prof.get(name, 0.0) + _time.time() - t0
-                return r
+            def _stage_wrap(name, f):
+                def wrapped(*a):
+                    t0 = _time.time()
+                    r = f(*a)
+                    float(r.reshape(-1)[0])
+                    _prof[name] = (
+                        _prof.get(name, 0.0) + _time.time() - t0
+                    )
+                    return r
 
-            _orig_mul, _orig_mul_pin = mul_flat, mul_pin_flat
+                return wrapped
 
-            def mul_flat(p, x):  # noqa: F811 - deliberate profiled shadow
-                return _stage("mul", _orig_mul, p, x)
+            mul_flat = _stage_wrap("mul", mul_flat)
+            mul_pin_flat = _stage_wrap("mul_pin", mul_pin_flat)
+            scale_pin_flat = _stage_wrap("scale_pin", scale_pin_flat)
+            tp_stage = _stage_wrap("transpose", tp_stage)
 
-            def mul_pin_flat(p, x):  # noqa: F811
-                return _stage("mul_pin", _orig_mul_pin, p, x)
+        def transpose_flat_of(box):
+            # takes OWNERSHIP of ps via a 1-element list so the caller
+            # holds no reference during the transpose (a caller-held ps
+            # would make three iterate-sized buffers live); all forms
+            # keep peak live memory ~2 iterate-sized buffers
+            ps = box.pop()
+            if not eager:
+                pst = tp_stage(ps)
+                del ps
+                _sync(pst)
+                return pst
+            # eager DUS cannot run in place (no donation), so build
+            # the column blocks of psT as separate parts and
+            # concatenate: parts total one iterate while ps lives
+            parts = []
+            for i in range(n_full + (1 if tp_rem else 0)):
+                b = tp_b if i < n_full else tp_rem
+                seg = jax.lax.dynamic_slice(ps, (i * tp_b * v,), (b * v,))
+                parts.append(seg.reshape(b, v).T)  # [v, b]
+                _sync(parts[-1])
+            del ps
+            out2d = jnp.concatenate(parts, axis=1)
+            _sync(out2d)
+            del parts
+            pst = jnp.concatenate(
+                [out2d.reshape(-1), jnp.zeros((v,), dtype)]
+            )
+            _sync(pst)
+            return pst
 
-            _orig_scale = scale_pin_flat
-
-            def scale_pin_flat(x):  # noqa: F811
-                return _stage("scale_pin", _orig_scale, x)
-
-            _orig_tp1 = transpose_flat_one
-
-            def transpose_flat_one(ps):  # noqa: F811
-                return _stage("transpose", _orig_tp1, ps)
-
-            _orig_tpp = transpose_pallas_fn
-
-            def transpose_pallas_fn(ps):  # noqa: F811
-                return _stage("transpose", _orig_tpp, ps)
-
-            _orig_flat = flatten2d
-
-            def flatten2d(x):  # noqa: F811
-                return _stage("flatten", _orig_flat, x)
-
-            _pf, _pr = panel_full, panel_rem
-
-            def panel_full(o, p, lo):  # noqa: F811
-                return _stage("panels", _pf, o, p, lo)
-
-            if _pr is not None:
-                def panel_rem(o, p, lo):  # noqa: F811
-                    return _stage("panels", _pr, o, p, lo)
-
-        s = init_flat(jnp.float32(1.0))
+        s = st["init_flat"](jnp.float32(1.0))
         _sync(s)
         for k in range(cfg.iterations):
             # k == 0: table is the materialised identity; k > 0: table is
@@ -396,25 +368,10 @@ def exact_simrank_spmm(
         # than erroring (ADVICE r3).  Instead: diag-zero in place on the
         # donated flat buffer, then emit rows as 2-D panels into the
         # [v_real, v_real] result — peak ~2 iterates + one panel.
-        @partial(jax.jit, donate_argnums=(0,))
-        def zero_diag_flat(s_flat):
-            i = jax.lax.iota(jnp.int32, v * v)
-            return jnp.where(i % (v + 1) == 0, 0.0, s_flat)
-
-        def _out_panel_fn(b):
-            @partial(jax.jit, donate_argnums=(0,))
-            def panel(out2d, s_flat, lo):
-                p = jax.lax.dynamic_slice(s_flat, (lo * v,), (b * v,))
-                return jax.lax.dynamic_update_slice(
-                    out2d, p.reshape(b, v)[:, :v_real], (lo, jnp.int32(0))
-                )
-
-            return panel
-
-        s = zero_diag_flat(s)
+        s = st["zero_diag_flat"](s)
         _sync(s)
-        fp_b = min(v_real, tp_b)
-        nf, rem = divmod(v_real, fp_b)
+        fp_b = st["fp_b"]
+        nf, rem = st["nf"], st["rem"]
         if eager:
             # eager DUS cannot run in place; concatenate row panels
             parts = []
@@ -427,12 +384,13 @@ def exact_simrank_spmm(
             out2d = jnp.concatenate(parts, axis=0)
         else:
             out2d = jnp.zeros((v_real, v_real), dtype)
-            pf = _out_panel_fn(fp_b)
             for i in range(nf):
-                out2d = pf(out2d, s, jnp.int32(i * fp_b))
+                out2d = st["out_panel_full"](out2d, s, jnp.int32(i * fp_b))
                 _sync(out2d)
             if rem:
-                out2d = _out_panel_fn(rem)(out2d, s, jnp.int32(nf * fp_b))
+                out2d = st["out_panel_rem"](
+                    out2d, s, jnp.int32(nf * fp_b)
+                )
             del s
         return out2d
 
