@@ -333,6 +333,14 @@ def main():
             # exceed HBM at arxiv (observed RESOURCE_EXHAUSTED).
             if block == 8192:
                 del x
+                # deleted buffers free asynchronously on the remote
+                # runtime and exception tracebacks pin frames: collect
+                # + drain before allocating two fresh iterates
+                import gc
+
+                gc.collect()
+                jax.block_until_ready(jnp.zeros((8,)) + 1)
+                time.sleep(2)
                 import jax.numpy as jnp
                 from functools import partial as fpart
 

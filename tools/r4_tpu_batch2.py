@@ -54,31 +54,37 @@ def main():
         print(f"[batch2] spmv rate FAILED {e!r}", flush=True)
 
     # 3. clean arxiv spmm per-iter with the round-4 loop
+    import gc
+
+    gc.collect()
     import graphtpu
     from graphtpu.core.config import SimRankConfig
     from graphtpu.simrank.exact import exact_simrank_spmm
 
-    arxiv = "/root/reference/DeepSim/lshrank_data/realdata/arxiv_author_pub.txt"
-    g = graphtpu.read_edgelist_graph(arxiv, n_nodes=38912)
-    iters = 10
-    tt = time.time()
-    s = exact_simrank_spmm(g, SimRankConfig(iterations=iters))
-    s.block_until_ready()
-    print(f"arxiv warm-up (compile + {iters} iters): {time.time()-tt:.1f}s",
-          flush=True)
-    del s
-    best = 1e9
-    for _ in range(2):
+    try:
+        arxiv = "/root/reference/DeepSim/lshrank_data/realdata/arxiv_author_pub.txt"
+        g = graphtpu.read_edgelist_graph(arxiv, n_nodes=38912)
+        iters = 10
         tt = time.time()
         s = exact_simrank_spmm(g, SimRankConfig(iterations=iters))
         s.block_until_ready()
-        best = min(best, (time.time() - tt) / iters)
+        print(f"arxiv warm-up (compile + {iters} iters): {time.time()-tt:.1f}s",
+              flush=True)
         del s
-    bytes_per_iter = 2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * 4.0
-    print(json.dumps({
-        "spmm_arxiv_r4loop_ms_per_iter": round(best * 1e3, 1),
-        "spmm_arxiv_r4loop_gbps": round(bytes_per_iter / best / 1e9, 1),
-    }), flush=True)
+        best = 1e9
+        for _ in range(2):
+            tt = time.time()
+            s = exact_simrank_spmm(g, SimRankConfig(iterations=iters))
+            s.block_until_ready()
+            best = min(best, (time.time() - tt) / iters)
+            del s
+        bytes_per_iter = 2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * 4.0
+        print(json.dumps({
+            "spmm_arxiv_r4loop_ms_per_iter": round(best * 1e3, 1),
+            "spmm_arxiv_r4loop_gbps": round(bytes_per_iter / best / 1e9, 1),
+        }), flush=True)
+    except Exception as e:
+        print(f"[batch2] arxiv clean timing FAILED {e!r}", flush=True)
     print(f"[batch2] ALL DONE {time.time()-t0:.0f}s", flush=True)
 
 
