@@ -257,7 +257,7 @@ def exact_simrank_spmm(
         plan = build_spmv_stream(g, weighted=weighted)
 
         eager = bool(os.environ.get("GRAPHTPU_EAGER"))
-        tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "pallas")
+        tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "onejit")
         assert v * v < 2**31, "flat int32 iota overflow; shard instead"
         st = _spmm_stages(
             v, v_real, cfg.c, spmv_mode, interpret, dtype, eager, tp_impl
