@@ -23,6 +23,22 @@ def main():
         from graphtpu.axon_pin import canary
 
         canary(timeout_s=180.0)
+        # HBM probe: a member that hosted a crashed session can pass the
+        # canary yet hold leaked multi-GB buffers until its worker
+        # restarts — every big allocation then dies RESOURCE_EXHAUSTED.
+        # Exit 3 (= cycle to the next member) if two iterate-sized
+        # buffers don't fit.
+        try:
+            import jax.numpy as jnp
+
+            a = jnp.zeros((1408, 1024, 1024), jnp.float32) + 1  # 5.5 GB
+            b = jnp.zeros((1408, 1024, 1024), jnp.float32) + 2
+            jax.block_until_ready((a, b))
+            del a, b
+        except Exception as e:
+            print(f"[batch2] HBM probe failed ({e!r}); member poisoned",
+                  flush=True)
+            os._exit(3)
 
     t0 = time.time()
 
