@@ -108,6 +108,15 @@ def main():
         from graphtpu.axon_pin import canary
 
         canary(timeout_s=180.0, exit_code=CANARY_EXIT)
+        try:  # HBM diagnostics: poisoned members show bytes_in_use high
+            ms = jax.local_devices()[0].memory_stats() or {}
+            log(
+                "hbm: in_use="
+                f"{ms.get('bytes_in_use', -1)/2**30:.2f} GiB "
+                f"limit={ms.get('bytes_limit', -1)/2**30:.2f} GiB"
+            )
+        except Exception as e:  # pragma: no cover - backend-dependent
+            log(f"hbm stats unavailable: {e!r}")
 
     if os.path.exists(BLOG):
         # pad V to a multiple of 256 for MXU tiling (isolated pad nodes
