@@ -352,6 +352,21 @@ def spmm_metrics():
     arxiv = "/root/reference/DeepSim/lshrank_data/realdata/arxiv_author_pub.txt"
     if not os.path.exists(arxiv):
         return {}
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "cpu":
+        try:
+            # the arxiv loop needs two ~6 GB iterates; a member whose HBM
+            # is poisoned by a crashed session passes the canary but
+            # cannot hold them — skip fast instead of OOMing mid-loop
+            a = jnp.zeros((1408, 1024, 1024), jnp.float32) + 1
+            b = jnp.zeros((1408, 1024, 1024), jnp.float32) + 2
+            jax.block_until_ready((a, b))
+            del a, b
+        except Exception as e:
+            log(f"spmm skipped: HBM probe failed ({e!r})")
+            return {}
     g = graphtpu.read_edgelist_graph(arxiv, n_nodes=38912)
     iters = 10
     bytes_per_iter = 2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * 4.0
