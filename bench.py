@@ -369,19 +369,24 @@ def spmm_metrics():
             return {}
     g = graphtpu.read_edgelist_graph(arxiv, n_nodes=38912)
     iters = 10
-    bytes_per_iter = 2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * 4.0
     out = {}
-    for mode in ("kahan", "fast"):
+    for mode, dtype, esize in (
+        ("kahan", jnp.float32, 4.0),
+        ("fast", jnp.float32, 4.0),
+        ("fast16", jnp.bfloat16, 2.0),  # bf16 iterates, f32 accumulation
+    ):
+        bytes_per_iter = 2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * esize
+        smode = "fast" if mode == "fast16" else mode
         t0 = time.time()
         s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
-                               spmv_mode=mode)
+                               spmv_mode=smode, dtype=dtype)
         s.block_until_ready()
         log(f"spmm arxiv {mode} warmup(compile + {iters} iters): "
             f"{time.time()-t0:.1f}s")
         del s  # two live [V,V] f32 iterates would exceed HBM
         t0 = time.time()
         s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
-                               spmv_mode=mode)
+                               spmv_mode=smode, dtype=dtype)
         s.block_until_ready()
         per = (time.time() - t0) / iters
         del s

@@ -390,7 +390,8 @@ def _spmv_kernel(
 
 def _spmv_kernel_fast(
     c, nbuf, weighted, table_scale, unroll, slots_ref, wts_ref, pos_ref,
-    scl_ref, table_ref, out_ref, buf, acc, rd_sems, wr_sems, state, fstate
+    scl_ref, table_ref, out_ref, buf, acc, obuf, rd_sems, wr_sems, state,
+    fstate
 ):
     """Streaming CSR SpMV, throughput variant: plain f32 run accumulation
     with the 1/Σw row scale applied ONCE at row flush (a per-ROW VPU pass
@@ -400,7 +401,9 @@ def _spmv_kernel_fast(
 
     state (SMEM int32[4]): [current_row, active_zone, pending_wr0,
     pending_wr1]; fstate (SMEM f32[2]): per-zone row scale.
-    acc (VMEM float32[2*c]): two plain zones.
+    acc (VMEM float32[2*c]): two plain zones; accumulation is ALWAYS
+    f32 — a bf16 table ("fast16": half the DMA bytes, half the iterate
+    HBM) converts on read and rounds once per ROW at flush via ``obuf``.
     """
     import jax.lax as lax
     from jax.experimental import pallas as pl
@@ -431,13 +434,17 @@ def _spmv_kernel_fast(
 
     def wr_dma(zone, row):
         return pltpu.make_async_copy(
-            acc.at[pl.ds(zone * c, c)],
+            obuf.at[pl.ds(zone * c, c)],
             out_ref.at[pl.ds(row * c, c)],
             wr_sems.at[zone],
         )
 
     def flush(zone, row):
-        acc[pl.ds(zone * c, c)] = acc[pl.ds(zone * c, c)] * fstate[zone]
+        # one conversion/copy per ROW at flush: f32 accumulation, output
+        # rounded to the table dtype (bf16 in fast16 mode)
+        obuf[pl.ds(zone * c, c)] = (
+            acc[pl.ds(zone * c, c)] * fstate[zone]
+        ).astype(obuf.dtype)
         wr_dma(zone, row).start()
         state[2 + zone] = 1
 
@@ -469,7 +476,7 @@ def _spmv_kernel_fast(
 
         z = state[1]
         rd_dma(t).wait()
-        row = buf[pl.ds((t % nbuf) * c, c)]
+        row = buf[pl.ds((t % nbuf) * c, c)].astype(jnp.float32)
         if table_scale is not None:
             row = jnp.where(
                 col_iota == slots_ref[t], 1.0, table_scale * row
@@ -566,6 +573,9 @@ def spmv_pallas_flat(
     v = stream.n_nodes
     assert x.ndim == 1 and x.size >= v * c, (x.shape, v, c)
     assert c % 1024 == 0, c
+    assert mode == "fast" or x.dtype == jnp.float32, (
+        "kahan mode is the exact-f32 path; bf16 tables use mode='fast'"
+    )
     if unroll is None:
         unroll = int(os.environ.get("GRAPHTPU_SPMV_UNROLL", "1"))
     tb = stream.block_items
@@ -585,6 +595,7 @@ def spmv_pallas_flat(
             scratch_shapes=[
                 pltpu.VMEM((nbuf * c,), x.dtype),
                 pltpu.VMEM((2 * c,), jnp.float32),
+                pltpu.VMEM((2 * c,), x.dtype),
                 pltpu.SemaphoreType.DMA((nbuf,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SMEM((4,), jnp.int32),
