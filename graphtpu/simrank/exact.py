@@ -86,26 +86,13 @@ def exact_simrank(
     return _simrank_iterate(w, cfg.c, cfg.iterations, matmul_precision)
 
 
-@functools.lru_cache(maxsize=8)
-def _spmm_stages(v, v_real, c, spmv_mode, interpret, dtype, eager, tp_impl):
-    """Stage executables for the streaming SimRank loop, CACHED across
-    ``exact_simrank_spmm`` calls.
-
-    Round-4 lesson: defining these jits inside the driver meant every
-    call re-created fresh jit objects, so "warm" timings re-lowered and
-    re-requested remote compiles for seven executables per call — the
-    742 ms (arxiv) / 1674 ms (blog) "per-iteration" numbers were mostly
-    compile machinery (the kernels themselves run 70-80 ms/product and
-    the transposes 34-133 ms; tools/exp_spmv_rate.py).
-
-    S stays a FLAT (row-major) 1-D array between stages, each stage its
-    own donated jit — flat operands skip the tiled->linear relayout XLA
-    inserts at the pallas boundary, and donation caps every stage at TWO
-    live iterate-sized buffers.  NO donation on the muls: x is the
-    kernel's random-access TABLE.
-    """
+@functools.lru_cache(maxsize=16)
+def _spmm_mul_stages(v, c, spmv_mode, interpret, eager):
+    """The two streaming-product executables (mode-specific); separate
+    cache from the elementwise stages so kahan/fast/fast16 share the
+    transposes, init and finish executables (compile budget per chip
+    session is scarce — see CLAUDE.md)."""
     from graphtpu.kernels.spmm import spmv_pallas_flat
-    from graphtpu.kernels.transpose import transpose_flat_pallas
 
     maybe_jit = (lambda f: f) if eager else jax.jit
 
@@ -127,6 +114,31 @@ def _spmm_stages(v, v_real, c, spmv_mode, interpret, dtype, eager, tp_impl):
             p, out_flat, v, mode=spmv_mode, interpret=interpret,
             table_scale=c,
         )
+
+    return mul_flat, mul_pin_flat
+
+
+@functools.lru_cache(maxsize=8)
+def _spmm_stages(v, v_real, c, interpret, dtype, eager, tp_impl):
+    """Stage executables for the streaming SimRank loop, CACHED across
+    ``exact_simrank_spmm`` calls.
+
+    Round-4 lesson: defining these jits inside the driver meant every
+    call re-created fresh jit objects, so "warm" timings re-lowered and
+    re-requested remote compiles for seven executables per call — the
+    742 ms (arxiv) / 1674 ms (blog) "per-iteration" numbers were mostly
+    compile machinery (the kernels themselves run 70-80 ms/product and
+    the transposes 34-133 ms; tools/exp_spmv_rate.py).
+
+    S stays a FLAT (row-major) 1-D array between stages, each stage its
+    own donated jit — flat operands skip the tiled->linear relayout XLA
+    inserts at the pallas boundary, and donation caps every stage at TWO
+    live iterate-sized buffers.  NO donation on the muls: x is the
+    kernel's random-access TABLE.
+    """
+    from graphtpu.kernels.transpose import transpose_flat_pallas
+
+    maybe_jit = (lambda f: f) if eager else jax.jit
 
     tp_b = min(v, 4096)
     n_full, tp_rem = divmod(v, tp_b)
@@ -189,8 +201,6 @@ def _spmm_stages(v, v_real, c, spmv_mode, interpret, dtype, eager, tp_impl):
     fp_b = min(v_real, tp_b)
     nf, rem = divmod(v_real, fp_b)
     return {
-        "mul_flat": mul_flat,
-        "mul_pin_flat": mul_pin_flat,
         "transpose_onejit": transpose_onejit,
         "transpose_pallas": transpose_pallas,
         "scale_pin_flat": scale_pin_flat,
@@ -260,7 +270,7 @@ def exact_simrank_spmm(
         tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "onejit")
         assert v * v < 2**31, "flat int32 iota overflow; shard instead"
         st = _spmm_stages(
-            v, v_real, cfg.c, spmv_mode, interpret, dtype, eager, tp_impl
+            v, v_real, cfg.c, interpret, dtype, eager, tp_impl
         )
 
         # GRAPHTPU_HARD_SYNC=1: drain the async queue after every stage
@@ -276,8 +286,9 @@ def exact_simrank_spmm(
             def _sync(x):
                 pass
 
-        mul_flat = st["mul_flat"]
-        mul_pin_flat = st["mul_pin_flat"]
+        mul_flat, mul_pin_flat = _spmm_mul_stages(
+            v, cfg.c, spmv_mode, interpret, eager
+        )
         scale_pin_flat = st["scale_pin_flat"]
         tp_stage = st["transpose_pallas" if tp_impl == "pallas"
                       else "transpose_onejit"]
