@@ -153,13 +153,16 @@ def build_sharded_tree_plan(
 
 def _tree_apply(levels, weights, x: jax.Array, rows_per: int) -> jax.Array:
     """Run the stacked plan's LOCAL block against table x: [V or M, C] ->
-    [rows_per, C].  levels/weights arrive as [1, M_k, W] blocks."""
+    [rows_per, C] float32.  levels/weights arrive as [1, M_k, W] blocks.
+    Gathered rows are promoted to f32 BEFORE the weighted sums, so a
+    bf16-iterate run (halved ring payloads + memory) still accumulates
+    in f32 and rounds once per product."""
     table = x
     for lv, wt in zip(levels, weights):
         lv, wt = lv[0], wt[0]
         acc = None
         for j in range(lv.shape[1]):
-            r = table[lv[:, j]] * wt[:, j][:, None]
+            r = table[lv[:, j]].astype(jnp.float32) * wt[:, j][:, None]
             acc = r if acc is None else acc + r
         table = acc
     return table[:rows_per]
@@ -172,6 +175,7 @@ def make_sharded_iter(
     weighted: bool = False,
     width: int = 8,
     plan: Optional[ShardedTreePlan] = None,
+    dtype=jnp.float32,
 ):
     """Build the sharded-iteration executables: returns
     ``(plan, v, init, run_n, zero_diag)`` where ``run_n(s, n_iters, *lw)``
@@ -216,7 +220,9 @@ def make_sharded_iter(
                 # block currently in hand started at device (me + k) % n
                 c = (me + k) % n_dev
                 tile = _tree_apply(levels, weights, blk, rows_per)
-                y = jax.lax.dynamic_update_slice(y, tile, (0, c * rows_per))
+                y = jax.lax.dynamic_update_slice(
+                    y, tile.astype(y.dtype), (0, c * rows_per)
+                )
                 blk = jax.lax.ppermute(
                     blk, axis,
                     [(i, (i - 1) % n_dev) for i in range(n_dev)],
@@ -254,7 +260,7 @@ def make_sharded_iter(
         me = jax.lax.axis_index(axis)
         cols_g = me * rows_per + jnp.arange(rows_per, dtype=jnp.int32)
         rows_g = jax.lax.broadcasted_iota(jnp.int32, (v, rows_per), 0)
-        return (rows_g == cols_g[None, :]).astype(jnp.float32) + dummy
+        return (rows_g == cols_g[None, :]).astype(dtype) + dummy.astype(dtype)
 
     @partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
     def run_n(s, n_iters, *lw):
@@ -274,6 +280,7 @@ def sharded_simrank_spmm(
     weighted: bool = False,
     width: int = 8,
     plan: Optional[ShardedTreePlan] = None,
+    dtype=jnp.float32,
 ) -> jax.Array:
     """Exact SimRank, sparse products, S sharded over the mesh.
 
@@ -288,7 +295,8 @@ def sharded_simrank_spmm(
     n_dev = mesh.devices.size
     v_real = g.n_nodes
     plan, v, init, run_n, zero_diag = make_sharded_iter(
-        g, mesh, cfg, weighted=weighted, width=width, plan=plan
+        g, mesh, cfg, weighted=weighted, width=width, plan=plan,
+        dtype=dtype,
     )
     s = init(jnp.zeros((n_dev,), jnp.float32))
     s = run_n(s, cfg.iterations, *(plan.levels + plan.weights))

@@ -60,3 +60,34 @@ def test_compiled_per_device_peak_is_sharded(mesh8):
     s = run_n(s, 2, *lw)
     shapes = {tuple(sh.data.shape) for sh in s.addressable_shards}
     assert shapes == {(vv, vv // n_dev)}
+
+
+def test_sharded_bf16_iterates(mesh8):
+    """bf16-iterate mode: halved ring payloads + per-device memory,
+    f32 tree accumulation; ranking-grade parity with the f32 run."""
+    import graphtpu
+    from graphtpu.dist.spmm_sharded import sharded_simrank_spmm
+
+    rng = np.random.default_rng(1)
+    v = 256
+    edges = rng.integers(0, v, size=(2000, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    ring = np.stack([np.arange(v), (np.arange(v) + 1) % v], 1)
+    g = graphtpu.build_graph(np.concatenate([edges, ring]), n_nodes=v)
+
+    f32 = np.asarray(
+        sharded_simrank_spmm(g, mesh8, SimRankConfig(iterations=3))
+    )
+    s16 = sharded_simrank_spmm(
+        g, mesh8, SimRankConfig(iterations=3), dtype=jnp.bfloat16
+    )
+    assert s16.dtype == jnp.bfloat16
+    b16 = np.asarray(s16.astype(jnp.float32))
+    assert np.abs(b16 - f32).max() < 2e-2
+    # top-10 agreement per sampled row
+    agree = []
+    for r in range(0, v, 11):
+        t1 = set(np.argsort(-f32[r])[:10])
+        t2 = set(np.argsort(-b16[r])[:10])
+        agree.append(len(t1 & t2) / 10)
+    assert np.mean(agree) >= 0.9, np.mean(agree)
