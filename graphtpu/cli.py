@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("--topk", type=int, default=20)
     sr.add_argument("--weighted", action="store_true")
     sr.add_argument("--delimiter", default=None)
+    sr.add_argument(
+        "--engine", default="dense", choices=["dense", "spmm"],
+        help="dense MXU iterate or streaming-SpMM (sparse graphs)",
+    )
+    sr.add_argument(
+        "--mode", default="kahan", choices=["kahan", "fast", "fast16"],
+        help="spmm numerics: exact-f32 Kahan, fast f32, or bf16 "
+             "iterates with f32 accumulation (half HBM + bytes)",
+    )
 
     uw = sub.add_parser("uniwalk", help="single-walk MC SimRank")
     uw.add_argument("--input", required=True)
@@ -245,12 +254,17 @@ def main(argv=None) -> int:
         from graphtpu.core.config import SimRankConfig
         from graphtpu.io.simfile import write_topk_files
         from graphtpu.kernels.topk import topk_rows
-        from graphtpu.simrank.exact import exact_simrank
+        from graphtpu.simrank.exact import exact_simrank, exact_simrank_spmm
 
-        sim = exact_simrank(
-            g, SimRankConfig(c=args.c, iterations=args.iterations),
-            weighted=args.weighted,
-        )
+        cfg = SimRankConfig(c=args.c, iterations=args.iterations)
+        if args.engine == "spmm":
+            sim = exact_simrank_spmm(
+                g, cfg, weighted=args.weighted,
+                spmv_mode="fast" if args.mode == "fast16" else args.mode,
+                dtype=jnp.bfloat16 if args.mode == "fast16" else jnp.float32,
+            )
+        else:
+            sim = exact_simrank(g, cfg, weighted=args.weighted)
         vals, idx = topk_rows(jnp.asarray(sim), args.topk)
         write_topk_files(args.output, np.asarray(idx), np.asarray(vals))
         print(f"wrote {args.output}(.sim.txt)")
