@@ -375,26 +375,33 @@ def spmm_metrics():
         ("fast", jnp.float32, 4.0),
         ("fast16", jnp.bfloat16, 2.0),  # bf16 iterates, f32 accumulation
     ):
-        bytes_per_iter = 2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * esize
-        smode = "fast" if mode == "fast16" else mode
-        t0 = time.time()
-        s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
-                               spmv_mode=smode, dtype=dtype)
-        s.block_until_ready()
-        log(f"spmm arxiv {mode} warmup(compile + {iters} iters): "
-            f"{time.time()-t0:.1f}s")
-        del s  # two live [V,V] f32 iterates would exceed HBM
-        t0 = time.time()
-        s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
-                               spmv_mode=smode, dtype=dtype)
-        s.block_until_ready()
-        per = (time.time() - t0) / iters
-        del s
-        log(f"spmm arxiv {mode}: {per*1e3:.1f} ms/iter, "
-            f"{bytes_per_iter/per/1e9:.0f} GB/s effective")
-        key = "spmm_arxiv" if mode == "kahan" else f"spmm_arxiv_{mode}"
-        out[f"{key}_ms_per_iter"] = round(per * 1e3, 1)
-        out[f"{key}_gbps"] = round(bytes_per_iter / per / 1e9, 0)
+        try:
+            bytes_per_iter = (
+                2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * esize
+            )
+            smode = "fast" if mode == "fast16" else mode
+            t0 = time.time()
+            s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
+                                   spmv_mode=smode, dtype=dtype)
+            s.block_until_ready()
+            log(f"spmm arxiv {mode} warmup(compile + {iters} iters): "
+                f"{time.time()-t0:.1f}s")
+            del s  # two live [V,V] f32 iterates would exceed HBM
+            t0 = time.time()
+            s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
+                                   spmv_mode=smode, dtype=dtype)
+            s.block_until_ready()
+            per = (time.time() - t0) / iters
+            del s
+            log(f"spmm arxiv {mode}: {per*1e3:.1f} ms/iter, "
+                f"{bytes_per_iter/per/1e9:.0f} GB/s effective")
+            key = "spmm_arxiv" if mode == "kahan" else f"spmm_arxiv_{mode}"
+            out[f"{key}_ms_per_iter"] = round(per * 1e3, 1)
+            out[f"{key}_gbps"] = round(bytes_per_iter / per / 1e9, 0)
+        except Exception as e:  # pragma: no cover - env failures
+            # a mode that dies (compile-service death, OOM) must not
+            # discard the modes already measured
+            log(f"spmm arxiv {mode} failed: {e!r}")
     return out
 
 
