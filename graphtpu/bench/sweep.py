@@ -206,6 +206,7 @@ def sweep_doublewalk(
 
     results = []
     shared_ends = None
+    key = key if key is not None else jax.random.key(0)
     if step == 1:
         smax = max(max(samples), max(DOUBLEWALK_SAMPLE_GRID))
         shared_ends = sample_double_walk_paths(g, smax, 1, key)[:, :, 0]

@@ -34,9 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     n2v.add_argument("--delimiter", default=None)
     n2v.add_argument("--seed", type=int, default=0)
     n2v.add_argument("--subsample", type=float, default=1e-3)
-    # the reference __main__ sweeps a p=q grid writing one .emb per setting
-    # (node2vec/src/main.py:117-128); --grid "0.25,0.5,1,2,4" does the same
+    # the reference __main__ sweeps the FULL p x q cross product
+    # (node2vec/src/main.py:117-124: ps = qs = [0.25,0.5,1,2,4], nested
+    # loops), writing one .emb per setting; --grid "0.25,0.5,1,2,4" does
+    # the same 25-point sweep.  --grid-diag restricts to p == q.
     n2v.add_argument("--grid", default=None)
+    n2v.add_argument("--grid-diag", action="store_true")
 
     sr = sub.add_parser("simrank", help="exact SimRank -> top-k .sim.txt")
     sr.add_argument("--input", required=True)
@@ -71,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
     ts.add_argument("--step", type=int, default=3)
     ts.add_argument("--topk", type=int, default=20)
     ts.add_argument("--delimiter", default=None)
+    ts.add_argument(
+        "--engine", default="sample", choices=["sample", "enumerate"],
+        help="budget-splitting (TopSim_singleSample) or full path "
+             "enumeration (TopSim_Enumerate.java:101-129; exponential)",
+    )
+    ts.add_argument(
+        "--frontier-capacity", type=int, default=0,
+        help="walker slots per source (0 = auto bound)",
+    )
 
     ds = sub.add_parser("deepsim", help="DeepSim AE over .sim.txt targets")
     ds.add_argument("--input", required=True)
@@ -142,7 +154,14 @@ def main(argv=None) -> int:
         if args.directed:
             g = g.out
         if args.grid:
-            pqs = [(float(x), float(x)) for x in args.grid.split(",")]
+            vals = [float(x) for x in args.grid.split(",")]
+            # reference protocol is the full cross product
+            # (node2vec/src/main.py:119-124)
+            pqs = (
+                [(x, x) for x in vals]
+                if args.grid_diag
+                else [(pp, qq) for pp in vals for qq in vals]
+            )
         else:
             pqs = [(args.p, args.q)]
         for p, q in pqs:
@@ -288,7 +307,12 @@ def main(argv=None) -> int:
         from graphtpu.simrank.topsim import topsim_simrank
 
         vals, idx = topsim_simrank(
-            g, TopSimConfig(sample=args.sample, step=args.step, topk=args.topk)
+            g,
+            TopSimConfig(
+                sample=args.sample, step=args.step, topk=args.topk,
+                enumerate_all=(args.engine == "enumerate"),
+                frontier_capacity=args.frontier_capacity,
+            ),
         )
         write_topk_files(args.output, idx, vals)
         print(f"wrote {args.output}(.sim.txt)")

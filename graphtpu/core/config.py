@@ -114,6 +114,12 @@ class TopSimConfig:
     # #parents, so 2x the budget never drops mass in practice
     frontier_capacity: int = 0  # 0 => 2 * ceil(sample) + 8
     normalize: bool = True  # divide by sample (reference leaves raw mass)
+    # full path enumeration: ALWAYS split the budget over every edge,
+    # never sample (TopSim_Enumerate.java:101-129 drops the
+    # ``sample >= degree`` guard).  Exponential frontier — set
+    # frontier_capacity explicitly for step > 2 (the reference demos a
+    # single source for the same reason, TopSim_Enumerate.java:46-53).
+    enumerate_all: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

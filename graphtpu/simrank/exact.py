@@ -86,8 +86,17 @@ def exact_simrank(
     return _simrank_iterate(w, cfg.c, cfg.iterations, matmul_precision)
 
 
+def _spmm_mul_stages(v, c, spmv_mode, interpret, eager, unroll=None):
+    """Resolve the unroll default OUTSIDE the lru_cache so changing
+    ``GRAPHTPU_SPMV_UNROLL`` mid-process gets fresh executables instead
+    of silently reusing ones compiled with the old unroll (ADVICE r4)."""
+    if unroll is None:
+        unroll = int(os.environ.get("GRAPHTPU_SPMV_UNROLL", "1"))
+    return _spmm_mul_stages_impl(v, c, spmv_mode, interpret, eager, unroll)
+
+
 @functools.lru_cache(maxsize=16)
-def _spmm_mul_stages(v, c, spmv_mode, interpret, eager):
+def _spmm_mul_stages_impl(v, c, spmv_mode, interpret, eager, unroll):
     """The two streaming-product executables (mode-specific); separate
     cache from the elementwise stages so kahan/fast/fast16 share the
     transposes, init and finish executables (compile budget per chip
@@ -101,7 +110,8 @@ def _spmm_mul_stages(v, c, spmv_mode, interpret, eager):
         # ((v+1)*v,) out; row v is the pad-item dummy row, never read
         # back (all stream slots < v)
         return spmv_pallas_flat(
-            p, x_flat, v, mode=spmv_mode, interpret=interpret
+            p, x_flat, v, mode=spmv_mode, interpret=interpret,
+            unroll=unroll,
         )
 
     @maybe_jit
@@ -112,7 +122,7 @@ def _spmm_mul_stages(v, c, spmv_mode, interpret, eager):
         # deleting the iterate-sized scale_pin read+write pass
         return spmv_pallas_flat(
             p, out_flat, v, mode=spmv_mode, interpret=interpret,
-            table_scale=c,
+            table_scale=c, unroll=unroll,
         )
 
     return mul_flat, mul_pin_flat
@@ -179,9 +189,13 @@ def _spmm_stages(v, v_real, c, interpret, dtype, eager, tp_impl):
     def init_flat(one):
         # ``one`` is a traced scalar: a jit whose output depends only on
         # constants folds the 1.5e9-element iota client-side (minutes of
-        # CPU; see CLAUDE.md)
-        i = jax.lax.iota(jnp.int32, v * v)
-        return jnp.where(i % (v + 1) == 0, one, 0.0).astype(dtype)
+        # CPU; see CLAUDE.md).  Output padded to ((v+1)*v,) — the same
+        # signature the transpose stages emit — so mul_flat compiles
+        # ONCE per (v, mode), not twice (ADVICE r4: each extra signature
+        # costs a remote compile against the ~10/session budget).
+        i = jax.lax.iota(jnp.int32, (v + 1) * v)
+        diag = (i % (v + 1) == 0) & (i < v * v)
+        return jnp.where(diag, one, 0.0).astype(dtype)
 
     @partial(jax.jit, donate_argnums=(0,))
     def zero_diag_flat(s_flat):

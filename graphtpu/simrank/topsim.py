@@ -47,13 +47,18 @@ def _expand_frontier(
     mass: jax.Array,    # [T, W]
     depth: int,
     key: jax.Array,
+    enumerate_all: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One budget-splitting step; returns (paths', mass', dropped_mass[T])."""
+    """One budget-splitting step; returns (paths', mass', dropped_mass[T]).
+
+    ``enumerate_all``: full enumeration — every active parent splits over
+    every edge regardless of its remaining mass
+    (TopSim_Enumerate.java:101-129 drops the budget guard)."""
     t, w, _ = paths.shape
     cur = paths[:, :, depth]
     d = g.deg[jnp.maximum(cur, 0)]
     active = (mass > 0) & (cur >= 0) & (d > 0)
-    split = active & (mass >= d)
+    split = active if enumerate_all else active & (mass >= d)
     nchild = jnp.where(
         split, d, jnp.ceil(mass).astype(jnp.int32)
     )
@@ -115,7 +120,20 @@ def topsim_simrank(
     sources = np.asarray(sources, dtype=np.int32)
     n = len(sources)
     tile = min(cfg.source_tile, n)
-    cap = cfg.frontier_capacity or (2 * math.ceil(cfg.sample) + 8)
+    if cfg.frontier_capacity:
+        cap = cfg.frontier_capacity
+    elif cfg.enumerate_all:
+        # full enumeration: frontier = #length-t paths <= d_max^t; cap it
+        # so a hub graph raises instead of allocating forever
+        dmax = int(np.max(np.asarray(g.deg))) if g.n_nodes else 1
+        cap = max(dmax, 1) ** (2 * cfg.step)
+        if cap > (1 << 17):
+            raise ValueError(
+                f"enumerate_all frontier bound {cap} too large; set "
+                "frontier_capacity explicitly (dropped mass is accepted)"
+            )
+    else:
+        cap = 2 * math.ceil(cfg.sample) + 8
     length = 2 * cfg.step + 1
 
     def tile_items(src_tile: jax.Array, k: jax.Array):
@@ -127,7 +145,8 @@ def topsim_simrank(
         tgt_list, val_list = [], []
         for depth in range(2 * cfg.step):
             paths, mass, _ = _expand_frontier(
-                g, paths, mass, depth, jax.random.fold_in(k, depth)
+                g, paths, mass, depth, jax.random.fold_in(k, depth),
+                enumerate_all=cfg.enumerate_all,
             )
             lvl = depth + 1
             if lvl % 2 == 0:

@@ -149,3 +149,32 @@ def test_cli_sdne_and_le(tmp_path, graph_file):
     assert cli_main(["le", "--input", sr + ".sim.txt", "--output", le2,
                      "--nodes", "64"]) == 0
     assert np.load(le2).shape[0] == 64
+
+
+def test_cli_node2vec_grid_cross_product(tmp_path, graph_file):
+    """--grid sweeps the FULL p x q cross product, one .emb per point
+    (node2vec/src/main.py:119-124 nested ps/qs loops)."""
+    out = str(tmp_path / "g.emb")
+    rc = cli_main([
+        "node2vec", "--input", graph_file, "--output", out,
+        "--dimensions", "4", "--walk-length", "6", "--num-walks", "1",
+        "--window-size", "2", "--iter", "1", "--subsample", "0",
+        "--grid", "0.5,2",
+    ])
+    assert rc == 0
+    for p in (0.5, 2.0):
+        for q in (0.5, 2.0):
+            labels, vecs = read_emb(f"{out}.p{p:g}_q{q:g}.emb")
+            assert vecs.shape[1] == 4
+
+
+def test_cli_topsim_enumerate(tmp_path, graph_file):
+    out = str(tmp_path / "ts_enum.txt")
+    rc = cli_main([
+        "topsim", "--input", graph_file, "--output", out,
+        "--engine", "enumerate", "--sample", "100", "--step", "2",
+        "--topk", "5", "--frontier-capacity", "4096",
+    ])
+    assert rc == 0
+    sims = read_sim_file(out + ".sim.txt")
+    assert len(sims) > 0

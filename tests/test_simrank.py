@@ -258,3 +258,41 @@ def test_weighted_simrank_matches_weighted_oracle():
     )
     want = weighted_simrank_reference_oracle(g, c=0.6, iterations=4)
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_topsim_enumerate_engine(small_random):
+    """enumerate_all == budget-splitting with an inexhaustible budget.
+
+    TopSim_Enumerate.java:101-129 is TopSim_singleSample with the
+    ``sample >= degree`` guard dropped; with a budget so large the guard
+    always passes, the two engines take identical (deterministic)
+    even-split branches, so their outputs must agree exactly.
+    """
+    g = small_random
+    srcs = np.arange(8)
+    kw = dict(step=2, source_tile=8, frontier_capacity=4096, topk=10)
+    enum = topsim_simrank(
+        g, TopSimConfig(sample=1e9, enumerate_all=True, **kw),
+        sources=srcs, dense=True,
+    )
+    huge = topsim_simrank(
+        g, TopSimConfig(sample=1e9, enumerate_all=False, **kw),
+        sources=srcs, dense=True,
+    )
+    np.testing.assert_allclose(enum, huge, rtol=1e-6)
+    assert np.abs(enum).sum() > 0
+
+
+def test_topsim_enumerate_splits_below_degree():
+    # star center has deg 8; mass 3.5 < 8 still splits over ALL edges in
+    # enumerate mode (vs 4 sampled children in budget mode)
+    edges = np.array([[0, i] for i in range(1, 9)])
+    g = graphtpu.build_graph(edges, n_nodes=9)
+    paths = jnp.full((1, 16, 2), -1, jnp.int32).at[0, 0, 0].set(0)
+    mass = jnp.zeros((1, 16)).at[0, 0].set(3.5)
+    p2, m2, _ = _expand_frontier(
+        g, paths, mass, 0, jax.random.key(1), enumerate_all=True
+    )
+    m2 = np.asarray(m2)
+    assert (m2 > 0).sum() == 8
+    np.testing.assert_allclose(m2[m2 > 0], 3.5 / 8)

@@ -127,17 +127,24 @@ def main():
         engines = ENGINES_SMALL if gold_impl == "dense" else ENGINES_LARGE
         if only_algs:
             engines = tuple(a for a in engines if a in only_algs)
+        # Load the graph BEFORE the resume precheck so both it and the
+        # authoritative per-point check key on the same min(n_src,
+        # g.n_nodes) — the old v_hint shortcut could skip a dataset with
+        # remaining points whenever the hint drifted from the true node
+        # count (ADVICE r4).  Graph loads are host-side and cheap next
+        # to a single grid point.
+        g = graphtpu.read_edgelist_graph(path, n_nodes=n_nodes)
+        del v_hint
         need = [
             (alg, s)
             for alg in engines
             for s in specs[alg][1]
-            if (name, alg, float(s), min(n_src, v_hint)) not in done
+            if (name, alg, float(s), min(n_src, g.n_nodes)) not in done
             and (not only_samples or float(s) in only_samples)
         ]
         if not need:
             print(f"{name}: complete, skipping", flush=True)
             continue
-        g = graphtpu.read_edgelist_graph(path, n_nodes=n_nodes)
         rng = np.random.default_rng(0)
         full_v = n_src >= g.n_nodes
         ns = min(n_src, g.n_nodes)
