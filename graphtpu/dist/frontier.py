@@ -32,6 +32,36 @@ from graphtpu.kernels.sampling import (
 )
 
 
+def narrowest_int_dtype(max_value: int):
+    """Narrowest SIGNED int dtype holding [-1, max_value] — the wire
+    format picker.  The reference's 1M-vertex run works because walker
+    messages are byte/short-packed (``giraph/BatchSingleWalkVertex_Byte
+    .java:38-51``, ``writables/Short_2MixMsgWritable.java``,
+    ``writables/ByteArrayWritable.java``); here the analogous lever is
+    shipping ``all_to_all`` buckets in int8/int16 when the id range fits,
+    cutting ICI bytes 2-4x on the comm-bound distributed walks."""
+    if max_value < 2**7:
+        return jnp.int8
+    if max_value < 2**15:
+        return jnp.int16
+    return jnp.int32
+
+
+# trace-time accounting of collective payload bytes: shapes are static
+# under jit, so one trace records the exact bytes every execution moves
+# (the LogProcess.extractMsg analog, counted directly instead of mined
+# from logs).
+_wire_stats = {"bytes": 0, "bytes_unpacked": 0, "exchanges": 0}
+
+
+def reset_wire_stats() -> None:
+    _wire_stats.update(bytes=0, bytes_unpacked=0, exchanges=0)
+
+
+def wire_stats() -> dict:
+    return dict(_wire_stats)
+
+
 def _pack_buckets(
     payload: jax.Array, owner: jax.Array, n_dev: int, capacity: int, fill
 ) -> jax.Array:
@@ -64,6 +94,7 @@ def exchange_by_owner(
     n_dev: int,
     capacity: int,
     fill: int = -1,
+    wire_dtypes: Optional[Tuple] = None,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Inside shard_map: route [N]-rows to their owner device.
 
@@ -71,14 +102,34 @@ def exchange_by_owner(
     mask; entries that overflowed a bucket are dropped (callers size
     ``capacity`` so this cannot happen in practice, as the reference sizes
     Giraph heaps).
+
+    ``wire_dtypes``: per-payload wire format (None entries keep the
+    payload dtype).  Integer payloads whose range fits are shipped as
+    int8/int16 and widened back after the collective; float payloads may
+    ship as bfloat16 (accumulation stays f32 at the destination).  This
+    is the byte/short-packed-writables optimization of the reference's
+    giraph backend (``BatchSingleWalkVertex_Byte.java:38-51``) in its
+    TPU-native form — the packing is a pair of converts XLA fuses into
+    the bucket scatter/gather, only the ``all_to_all`` moves fewer bytes.
     """
+    if wire_dtypes is None:
+        wire_dtypes = (None,) * len(payloads)
+    assert len(wire_dtypes) == len(payloads)
     outs = []
-    for pay in payloads:
+    for pay, wd in zip(payloads, wire_dtypes):
+        orig = pay.dtype
+        if wd is not None and jnp.dtype(wd) != orig:
+            pay = pay.astype(wd)
         buckets = _pack_buckets(pay, owner, n_dev, capacity, fill)
+        _wire_stats["bytes"] += buckets.size * buckets.dtype.itemsize
+        _wire_stats["bytes_unpacked"] += buckets.size * jnp.dtype(
+            orig
+        ).itemsize
         recv = jax.lax.all_to_all(
             buckets, axis_name, split_axis=0, concat_axis=0, tiled=False
         )
-        outs.append(recv.reshape(-1))
+        outs.append(recv.reshape(-1).astype(orig))
+    _wire_stats["exchanges"] += 1
     valid = outs[0] != fill if outs else None
     return tuple(outs), valid
 
@@ -121,6 +172,10 @@ def distributed_uniform_walks(
             key, (n_walkers,), 0, g.n_nodes, dtype=jnp.int32
         )
     wid = jnp.arange(n_walkers, dtype=jnp.int32)
+    # byte/short-packed wire formats when the id ranges fit
+    # (BatchSingleWalkVertex_Byte.java:38-51)
+    wd_wid = narrowest_int_dtype(n_walkers - 1)
+    wd_node = narrowest_int_dtype(g.n_nodes - 1)
 
     from jax import shard_map
 
@@ -136,14 +191,16 @@ def distributed_uniform_walks(
             owner = jnp.where(cur >= 0, cur // nodes_per_dev, -1)
             # route (walker id, node) to the node's owner
             (r_wid, r_cur), _ = exchange_by_owner(
-                (wid_l, cur), owner, axis, n_dev, per_dev
+                (wid_l, cur), owner, axis, n_dev, per_dev,
+                wire_dtypes=(wd_wid, wd_node),
             )
             kdev, ks = jax.random.split(kdev)
             nxt = sample_at_owner(me, r_cur, ks)
             # route the result back to the walker's home shard
             home = jnp.where(r_wid >= 0, r_wid // per_dev, -1)
             (h_wid, h_nxt), _ = exchange_by_owner(
-                (r_wid, nxt), home, axis, n_dev, per_dev
+                (r_wid, nxt), home, axis, n_dev, per_dev,
+                wire_dtypes=(wd_wid, wd_node),
             )
             slot = jnp.where(h_wid >= 0, h_wid % per_dev, per_dev)
             walks = walks.at[slot, t + 1].set(h_nxt, mode="drop")

@@ -73,6 +73,11 @@ def distributed_node2vec_walks(
             key, (n_walkers,), 0, g.n_nodes, dtype=jnp.int32
         )
     wid = jnp.arange(n_walkers, dtype=jnp.int32)
+    from graphtpu.dist.frontier import narrowest_int_dtype
+
+    # byte/short-packed wire formats (BatchSingleWalkVertex_Byte.java)
+    wd_wid = narrowest_int_dtype(n_walkers - 1)
+    wd_node = narrowest_int_dtype(g.n_nodes - 1)
     w_spec = (P(axis, None),) if use_w else ()
 
     from jax import shard_map
@@ -111,7 +116,8 @@ def distributed_node2vec_walks(
         def route_home(r_wid, nxt, walks, step_idx):
             home = jnp.where(r_wid >= 0, r_wid // per_dev, -1)
             (h_wid, h_nxt), _ = exchange_by_owner(
-                (r_wid, nxt), home, axis, n_dev, per_dev
+                (r_wid, nxt), home, axis, n_dev, per_dev,
+                wire_dtypes=(wd_wid, wd_node),
             )
             slot = jnp.where(h_wid >= 0, h_wid % per_dev, per_dev)
             return walks.at[slot, step_idx].set(h_nxt, mode="drop")
@@ -120,7 +126,8 @@ def distributed_node2vec_walks(
         cur = walks[:, 0]
         owner = jnp.where(cur >= 0, cur // nodes_per, -1)
         (r_wid, r_cur), _ = exchange_by_owner(
-            (wid_l, cur), owner, axis, n_dev, per_dev
+            (wid_l, cur), owner, axis, n_dev, per_dev,
+            wire_dtypes=(wd_wid, wd_node),
         )
         kdev, ks = jax.random.split(kdev)
         loc = jnp.where(r_cur >= 0, r_cur - me * nodes_per, -1)
@@ -137,6 +144,7 @@ def distributed_node2vec_walks(
             (r_wid, r_prev, r_cur), _ = exchange_by_owner(
                 (jnp.where(ok, wid_l, -1), prev, cur),
                 owner, axis, n_dev, per_dev,
+                wire_dtypes=(wd_wid, wd_node, wd_node),
             )
             kdev, ks = jax.random.split(kdev)
             loc = jnp.where(r_cur >= 0, r_cur - me * nodes_per, -1)
@@ -150,7 +158,8 @@ def distributed_node2vec_walks(
             # the probe buckets must be full-width
             payloads = (r_wid, r_prev) + tuple(props[:, j] for j in range(t))
             recv, valid = exchange_by_owner(
-                payloads, powner, axis, n_dev, n_dev * per_dev
+                payloads, powner, axis, n_dev, n_dev * per_dev,
+                wire_dtypes=(wd_wid,) + (wd_node,) * (len(payloads) - 1),
             )
             q_wid, q_prev = recv[0], recv[1]
             q_props = jnp.stack(recv[2:], axis=1)  # [N, T]

@@ -170,6 +170,13 @@ def _topsim_sharded(
     length = 2 * cfg.step + 1
     nodes_per = g.nodes_per
 
+    # byte/short-packed wire formats (Short_2MixMsgWritable.java,
+    # ByteArrayWritable.java): positions and node ids ship in the
+    # narrowest signed dtype their range fits
+    from graphtpu.dist.frontier import narrowest_int_dtype
+
+    wd_pos = narrowest_int_dtype(window - 1)
+    wd_node = narrowest_int_dtype(g.n_nodes - 1)
     cap0 = device_capacity or int(
         math.ceil(route_slack * window * w_cap / n_dev)
     )
@@ -214,7 +221,9 @@ def _topsim_sharded(
                 paths[:, j] for j in range(depth + 1)
             )
             recv, valid = exchange_by_owner(
-                payloads, owner, axis, n_dev, bucket
+                payloads, owner, axis, n_dev, bucket,
+                wire_dtypes=(wd_pos, None)
+                + (wd_node,) * (len(payloads) - 2),
             )
             r_pos = recv[0]
             r_mass = jnp.where(valid, recv[1], 0.0)
@@ -307,7 +316,8 @@ def _topsim_sharded(
             jnp.maximum(per_owner - inc_bucket, 0.0).sum(), axis
         )
         (f_src, f_tgt, f_val), fvalid = exchange_by_owner(
-            (a_src, a_tgt, a_val), owner, axis, n_dev, inc_bucket
+            (a_src, a_tgt, a_val), owner, axis, n_dev, inc_bucket,
+            wire_dtypes=(wd_pos, wd_node, None),
         )
         f_val = jnp.where(fvalid, f_val, 0.0)
         local_ids = me * per_out + jnp.arange(per_out, dtype=jnp.int32)

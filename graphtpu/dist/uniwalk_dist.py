@@ -187,6 +187,9 @@ def distributed_uniwalk_simrank_reuse(
     from jax import shard_map
 
     rows_per = v_p // n_dev
+    from graphtpu.dist.frontier import narrowest_int_dtype
+
+    wd_node = narrowest_int_dtype(v_p - 1)
     deg = _global_deg(g)
     items_local = (n_walkers // n_dev) * times * cfg.step
     # Bucket capacity is per (sender, owner) pair.  Offset-0 sources are
@@ -222,7 +225,11 @@ def distributed_uniwalk_simrank_reuse(
             jnp.maximum(per_owner - capacity, 0.0).sum(), axis
         )
         (r_src, r_tgt, r_val), _ = exchange_by_owner(
-            (srcs, tgts, vals), owner, axis, n_dev, capacity
+            (srcs, tgts, vals), owner, axis, n_dev, capacity,
+            # short-packed ids when V fits (Short_2MixMsgWritable.java);
+            # sim values stay f32 on the wire (exactness tests compare
+            # against the single-device trajectory bit-for-bit)
+            wire_dtypes=(wd_node, wd_node, None),
         )
         me = jax.lax.axis_index(axis)
         local_ids = me * rows_per + jnp.arange(rows_per, dtype=jnp.int32)

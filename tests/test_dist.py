@@ -598,3 +598,53 @@ def test_distributed_uniwalk_internal_windowing(small_random):
     assert (vals >= 0).all() and np.isfinite(vals).all()
     # every returned neighbour must be a real positive-sim candidate
     assert ((idx >= -1) & (idx < 64)).all()
+
+
+def test_wire_packed_exchange_matches_unpacked():
+    """int8/int16 wire formats route the same values as int32 buckets
+    (BatchSingleWalkVertex_Byte.java:38-51 semantics: packing changes
+    bytes on the wire, never the message content)."""
+    from graphtpu.dist.frontier import narrowest_int_dtype
+
+    mesh = make_1d_mesh(4)
+    n_dev, per = 4, 8
+
+    def run_with(wire):
+        @partial(
+            shard_map, mesh=mesh, in_specs=(P("data"),), out_specs=P("data")
+        )
+        def run(x):
+            owner = x % n_dev
+            (recv,), _ = exchange_by_owner(
+                (x,), owner, "data", n_dev, per, wire_dtypes=(wire,)
+            )
+            return recv[None, :]
+
+        return np.asarray(run(jnp.arange(32, dtype=jnp.int32)))
+
+    base = run_with(None)
+    for wd in (jnp.int8, jnp.int16):
+        got = run_with(wd)
+        assert got.dtype == base.dtype  # widened back after the wire
+        np.testing.assert_array_equal(got, base)
+    assert narrowest_int_dtype(31) == jnp.int8
+    assert narrowest_int_dtype(300) == jnp.int16
+    assert narrowest_int_dtype(70000) == jnp.int32
+
+
+def test_distributed_walks_wire_bytes_halved():
+    """The walk superstep ships short-packed buckets: >=2x fewer
+    collective bytes than int32 (the VERDICT r4 #7 bar), with walks
+    unchanged (covered by equality tests above)."""
+    from graphtpu.dist.frontier import reset_wire_stats, wire_stats
+
+    g = _medium_random()  # V < 2**15 -> int16 ids on the wire
+    mesh = make_1d_mesh(8)
+    reset_wire_stats()
+    w = np.asarray(distributed_uniform_walks(
+        g, n_walkers=128, num_steps=4, key=jax.random.key(1), mesh=mesh
+    ))
+    st = wire_stats()
+    assert st["exchanges"] > 0
+    assert st["bytes"] * 2 <= st["bytes_unpacked"], st
+    assert (w[:, 0] >= 0).all()
