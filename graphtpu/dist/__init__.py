@@ -1,6 +1,7 @@
 from graphtpu.dist.mesh import make_mesh, device_count
 from graphtpu.dist.sgns_dp import make_sgns_train_step
 from graphtpu.dist.simrank_sharded import sharded_exact_simrank
+from graphtpu.dist.spmm_summa import make_2d_mesh, summa_simrank_spmm
 from graphtpu.dist.frontier import (
     distributed_uniform_walks,
     exchange_by_owner,
@@ -19,4 +20,6 @@ __all__ = [
     "narrowest_int_dtype",
     "reset_wire_stats",
     "wire_stats",
+    "make_2d_mesh",
+    "summa_simrank_spmm",
 ]

@@ -83,9 +83,19 @@ def _pad_rows(a: np.ndarray, mult: int, fill) -> np.ndarray:
 
 
 def build_reduction_tree(
-    g: Graph, width: int = 8, weighted: bool = False, block: int = _BM
+    g: Graph,
+    width: int = 8,
+    weighted: bool = False,
+    block: int = _BM,
+    row_scale: Optional[np.ndarray] = None,
 ) -> ReductionTree:
-    """Host-side plan construction from CSR (numpy; one pass per level)."""
+    """Host-side plan construction from CSR (numpy; one pass per level).
+
+    ``row_scale``: override the 1/Σw row normalization — needed when
+    ``g`` is a COLUMN-RESTRICTED block of a larger graph (2-D SUMMA
+    plans) whose local row sums are partial; the caller passes the
+    global 1/Σw of each row instead.
+    """
     rp_h, col_h, w_h, _ = host_csr(g)
     rp = np.asarray(rp_h).astype(np.int64)
     col = np.asarray(col_h).astype(np.int64)
@@ -98,11 +108,15 @@ def build_reduction_tree(
         if (weighted and w_h is not None)
         else np.ones(len(col), np.float32)
     )
-    denom = np.zeros(v, np.float64)
-    np.add.at(denom, np.repeat(np.arange(v), d), wsrc)
-    scale = np.where(denom > 0, 1.0 / np.maximum(denom, 1e-30), 0.0).astype(
-        np.float32
-    )
+    if row_scale is not None:
+        scale = np.asarray(row_scale, np.float32)
+        assert scale.shape == (v,), (scale.shape, v)
+    else:
+        denom = np.zeros(v, np.float64)
+        np.add.at(denom, np.repeat(np.arange(v), d), wsrc)
+        scale = np.where(
+            denom > 0, 1.0 / np.maximum(denom, 1e-30), 0.0
+        ).astype(np.float32)
 
     # level 1: mini-rows over the CSR column array; pad -> row 0, weight 0
     m = np.maximum(1, -(-d // w))

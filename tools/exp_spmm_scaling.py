@@ -65,6 +65,43 @@ def analytic_model(v, e_slots, n_dev, width=8, bytes_f32=4):
     }
 
 
+def analytic_model_2d(v, e_slots, r, c, width=8, bytes_wire=4):
+    """Per-device, per-ITERATION costs of the 2-D SUMMA
+    (``dist/spmm_summa.py``).  Two products per iteration; each product:
+      * r ring steps; each applies the local [V/r, V/c] block plan
+        (e_slots/n slots) against the [V/c, V/r] block in hand;
+      * ring bytes: (r-1) shifts of the V²/n block along "pr";
+      * reduce bytes: r psum_scatters of the [V/r, V/r] partial along
+        "pc" (~(c-1)/c of the block each);
+      * one all_to_all layout transpose (~V²/n per device).
+    ``bytes_wire``: 4 (f32) or 2 (fast16 bf16 iterates — every wire in
+    the 2-D form carries the block dtype).
+    """
+    n = r * c
+    tail = 1.0 / width
+    per_apply_bytes = 2.0 * (e_slots / n) * (v // r) * 4 * (1 + tail)
+    per_apply_flops = 2.0 * (e_slots / n) * (v // r) * (1 + tail)
+    ring = (r - 1) * (v // c) * (v // r) * bytes_wire
+    reduce = r * (v // r) * (v // r) * bytes_wire * (c - 1) / c
+    a2a = (v // c) * (v // r) * bytes_wire * (c - 1) / c
+    return {
+        "V": v,
+        "E_slots": e_slots,
+        "grid": f"{r}x{c}",
+        "n_dev": n,
+        "bytes_wire": bytes_wire,
+        "s_block_bytes": (v // c) * (v // r) * bytes_wire,
+        "hbm_bytes_per_iter": 2 * r * per_apply_bytes,
+        "flops_per_iter": 2 * r * per_apply_flops,
+        "ring_bytes_per_iter": 2 * (ring + reduce + a2a),
+        # the "pr" ring and the "pc" reduce/transpose ride DISJOINT
+        # physical links on a 2-D torus mapping — they overlap, so the
+        # wire time is the max of the two axes, not the sum
+        "bytes_axis_pr_per_iter": 2 * ring,
+        "bytes_axis_pc_per_iter": 2 * (reduce + a2a),
+    }
+
+
 def run_model():
     # instantiate at arxiv scale (the measured single-chip workload) and
     # at the 14-worker cluster shape
@@ -78,6 +115,16 @@ def run_model():
         m = analytic_model(v, e, n)
         rows.append(m)
         print(json.dumps(m))
+    # 2-D SUMMA at the same shapes, f32 and fast16 wires
+    for v, e, r, c in [
+        (1048576, 8 * 1048576, 4, 2),
+        (1048576, 8 * 1048576, 2, 4),
+        (10027008, 8 * 10027008, 4, 4),
+    ]:
+        for bw in (4, 2):
+            m = analytic_model_2d(v, e, r, c, bytes_wire=bw)
+            rows.append(m)
+            print(json.dumps(m))
     # projection: measured single-chip streaming kernel GB/s (from BENCH
     # extras spmm_arxiv_gbps; pass via env to avoid stale constants)
     gbps = float(os.environ.get("GRAPHTPU_MEASURED_GBPS", 0) or 0)
@@ -85,10 +132,18 @@ def run_model():
     if gbps:
         for m in rows:
             t_hbm = m["hbm_bytes_per_iter"] / (gbps * 1e9)
-            t_ring = m["ring_bytes_per_iter"] / (ici_gbps * 1e9)
+            if "bytes_axis_pr_per_iter" in m:
+                # 2-D torus: per-axis links are disjoint -> overlap
+                t_ring = max(
+                    m["bytes_axis_pr_per_iter"], m["bytes_axis_pc_per_iter"]
+                ) / (ici_gbps * 1e9)
+            else:
+                t_ring = m["ring_bytes_per_iter"] / (ici_gbps * 1e9)
             print(
                 json.dumps({
                     "V": m["V"], "n_dev": m["n_dev"],
+                    "grid": m.get("grid", "1d"),
+                    "bytes_wire": m.get("bytes_wire", 4),
                     "t_hbm_s": round(t_hbm, 3),
                     "t_ring_s": round(t_ring, 3),
                     "projected_iter_s": round(max(t_hbm, t_ring), 3),
