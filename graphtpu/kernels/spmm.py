@@ -184,7 +184,7 @@ def build_reduction_tree(
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["slots", "wts", "pos", "raw_wts", "scales"],
-    meta_fields=["n_nodes", "n_items", "block_items", "uniform"],
+    meta_fields=["n_nodes", "n_items", "block_items", "uniform", "seg_k"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpmvStream:
@@ -197,17 +197,28 @@ class SpmvStream:
     output row is written exactly once (deg==0 → zero row,
     ``SimRank.java:69``).  Padded to a block multiple with zero-weight
     items on the last row.
+
+    ``seg_k > 1``: COALESCED stream — each item is one ``seg_k``-row DMA
+    starting at ``slots[t]`` (rows ``slots[t]..slots[t]+seg_k-1`` of the
+    table, a single contiguous HBM burst), with per-sub-row coefficients
+    ``wts[t*seg_k + j]`` (0 for absent rows).  Built by
+    :func:`build_spmv_segments` from maximal runs of CONSECUTIVE
+    neighbour ids — the payoff of :mod:`graphtpu.core.reorder`'s
+    locality relabeling (VERDICT r4 #2: fewer, longer DMAs against the
+    per-transfer overhead that holds the item kernel at ~50% of HBM
+    roofline).
     """
 
     slots: jax.Array    # int32[T]
-    wts: jax.Array      # float32[T]: edge weight x 1/Σw (folded)
+    wts: jax.Array      # float32[T * seg_k]: folded coefficients
     pos: jax.Array      # int32[T]
-    raw_wts: jax.Array  # float32[T]: edge weight only (1 when unweighted)
+    raw_wts: jax.Array  # float32[T * seg_k]: edge weight only
     scales: jax.Array   # float32[T]: the item's OUTPUT-row 1/Σw
     n_nodes: int
     n_items: int
     block_items: int
     uniform: bool       # all raw weights == 1 (skip per-item multiply)
+    seg_k: int = 1      # table rows per DMA
 
 
 def build_spmv_stream(
@@ -269,12 +280,125 @@ def build_spmv_stream(
     )
 
 
+def build_spmv_segments(
+    g: Graph, weighted: bool = False, block_items: int = 1024, k: int = 2
+) -> SpmvStream:
+    """Coalesced stream: maximal runs of CONSECUTIVE neighbour ids are
+    chopped into ``k``-row segments, each one contiguous HBM DMA.
+
+    With a locality relabeling (:mod:`graphtpu.core.reorder`, adjacent-
+    slot fraction 0.62 after BFS order) the mean run length is ~2.5, so
+    k=2 cuts DMA count ~1.7x with ≤~15% extra bytes (singleton runs
+    read one wasted row, zero-weighted).  Semantics identical to
+    :func:`build_spmv_stream`; same kernels consume both forms.
+    """
+    assert k >= 1
+    if k == 1:
+        return build_spmv_stream(g, weighted=weighted,
+                                 block_items=block_items)
+    rp_h, col_h, w_h, _ = host_csr(g)
+    rp = np.asarray(rp_h).astype(np.int64)
+    col = np.asarray(col_h).astype(np.int64)
+    v = g.n_nodes
+    d = np.diff(rp)
+    e_total = int(rp[-1])
+    wsrc = (
+        np.asarray(w_h, np.float32)
+        if (weighted and w_h is not None)
+        else np.ones(e_total, np.float32)
+    )
+    denom = np.zeros(v, np.float64)
+    row_of_e = np.repeat(np.arange(v), d)
+    np.add.at(denom, row_of_e, wsrc)
+    scale = np.where(denom > 0, 1.0 / np.maximum(denom, 1e-30), 0.0).astype(
+        np.float32
+    )
+    # sort neighbours within each row (consecutive-run detection needs it)
+    order = np.lexsort((col, row_of_e))
+    col = col[order]
+    wsrc = wsrc[order]
+
+    if e_total:
+        prev_consec = np.zeros(e_total, bool)
+        prev_consec[1:] = (col[1:] == col[:-1] + 1) & (
+            row_of_e[1:] == row_of_e[:-1]
+        )
+        run_start = ~prev_consec
+        run_id = np.cumsum(run_start) - 1
+        run_first = np.flatnonzero(run_start)
+        pos_in_run = np.arange(e_total) - run_first[run_id]
+        seg_start = (pos_in_run % k) == 0
+        seg_id = np.cumsum(seg_start) - 1
+        seg_first_e = np.flatnonzero(seg_start)
+        seg_slot = col[seg_first_e]
+        seg_row = row_of_e[seg_first_e].astype(np.int64)
+        # clamp so every k-row window stays inside the table; the
+        # within-window offset shifts the weights accordingly
+        start_c = np.minimum(seg_slot, max(v - k, 0))
+        j_in = (col - start_c[seg_id]).astype(np.int64)
+        assert j_in.max() < k
+        n_seg = len(seg_first_e)
+        w_fold = np.zeros((n_seg, k), np.float32)
+        w_raw = np.zeros((n_seg, k), np.float32)
+        w_fold[seg_id, j_in] = wsrc * scale[row_of_e]
+        w_raw[seg_id, j_in] = wsrc
+        seg_scales = scale[seg_row]
+    else:
+        n_seg = 0
+        start_c = np.zeros(0, np.int64)
+        seg_row = np.zeros(0, np.int64)
+        w_fold = np.zeros((0, k), np.float32)
+        w_raw = np.zeros((0, k), np.float32)
+        seg_scales = np.zeros(0, np.float32)
+
+    # isolated rows: one zero-weight dummy segment each, then restore
+    # nondecreasing output-row order
+    iso = np.flatnonzero(d == 0)
+    if len(iso):
+        start_c = np.concatenate([start_c, np.zeros(len(iso), np.int64)])
+        seg_row = np.concatenate([seg_row, iso])
+        w_fold = np.concatenate([w_fold, np.zeros((len(iso), k), np.float32)])
+        w_raw = np.concatenate([w_raw, np.zeros((len(iso), k), np.float32)])
+        seg_scales = np.concatenate(
+            [seg_scales, np.zeros(len(iso), np.float32)]
+        )
+        srt = np.argsort(seg_row, kind="stable")
+        start_c, seg_row = start_c[srt], seg_row[srt]
+        w_fold, w_raw, seg_scales = w_fold[srt], w_raw[srt], seg_scales[srt]
+    t_real = len(seg_row)
+
+    pad = (-t_real) % block_items
+    if pad:
+        start_c = np.concatenate([start_c, np.zeros(pad, np.int64)])
+        seg_row = np.concatenate([seg_row, np.full(pad, v, np.int64)])
+        w_fold = np.concatenate([w_fold, np.zeros((pad, k), np.float32)])
+        w_raw = np.concatenate([w_raw, np.zeros((pad, k), np.float32)])
+        seg_scales = np.concatenate([seg_scales, np.zeros(pad, np.float32)])
+    return SpmvStream(
+        slots=jnp.asarray(start_c.astype(np.int32)),
+        wts=jnp.asarray(w_fold.reshape(-1)),
+        pos=jnp.asarray(seg_row.astype(np.int32)),
+        raw_wts=jnp.asarray(w_raw.reshape(-1)),
+        scales=jnp.asarray(seg_scales),
+        n_nodes=v,
+        n_items=t_real,
+        block_items=block_items,
+        uniform=False,   # segment coefficients are masks; always multiply
+        seg_k=k,
+    )
+
+
 def _spmv_kernel(
-    c, nbuf, table_scale, unroll, slots_ref, wts_ref, pos_ref, table_ref, out_ref, buf, acc, rd_sems, wr_sems, state
+    c, nbuf, table_scale, unroll, seg_k, slots_ref, wts_ref, pos_ref, table_ref, out_ref, buf, acc, rd_sems, wr_sems, state
 ):
     """Streaming CSR SpMV: DMA each item's source row through an NBUF ring,
     Kahan-accumulate runs of equal ``pos`` in a double-buffered VMEM
     accumulator, flush each finished row to HBM with a write DMA.
+
+    ``seg_k > 1``: coalesced items — each DMA moves ``seg_k`` contiguous
+    table rows in one burst and the item combines them with per-sub-row
+    weights ``wts[t*seg_k + j]`` (one Kahan add per item of the combined
+    row; see :func:`build_spmv_segments`).
 
     ``table_scale``: when not None, the gathered table row r is
     transformed IN VMEM to ``where(col == r, 1, table_scale * row)`` —
@@ -304,8 +428,8 @@ def _spmv_kernel(
 
     def rd_dma(t):
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(slots_ref[t] * c, c)],
-            buf.at[pl.ds((t % nbuf) * c, c)],
+            table_ref.at[pl.ds(slots_ref[t] * c, seg_k * c)],
+            buf.at[pl.ds((t % nbuf) * seg_k * c, seg_k * c)],
             rd_sems.at[t % nbuf],
         )
 
@@ -350,12 +474,25 @@ def _spmv_kernel(
 
         z = state[1]
         rd_dma(t).wait()
-        raw = buf[pl.ds((t % nbuf) * c, c)]
-        if table_scale is not None:
-            raw = jnp.where(
-                col_iota == slots_ref[t], 1.0, table_scale * raw
-            )
-        row = raw * wts_ref[t]
+        if seg_k == 1:
+            raw = buf[pl.ds((t % nbuf) * c, c)]
+            if table_scale is not None:
+                raw = jnp.where(
+                    col_iota == slots_ref[t], 1.0, table_scale * raw
+                )
+            row = raw * wts_ref[t]
+        else:
+            base = (t % nbuf) * seg_k * c
+            row = None
+            for j in range(seg_k):
+                sub = buf[pl.ds(base + j * c, c)]
+                if table_scale is not None:
+                    sub = jnp.where(
+                        col_iota == slots_ref[t] + j, 1.0,
+                        table_scale * sub,
+                    )
+                sub = sub * wts_ref[t * seg_k + j]
+                row = sub if row is None else row + sub
 
         @pl.when(is_new)
         def _():
@@ -403,9 +540,9 @@ def _spmv_kernel(
 
 
 def _spmv_kernel_fast(
-    c, nbuf, weighted, table_scale, unroll, slots_ref, wts_ref, pos_ref,
-    scl_ref, table_ref, out_ref, buf, acc, obuf, rd_sems, wr_sems, state,
-    fstate
+    c, nbuf, weighted, table_scale, unroll, seg_k, slots_ref, wts_ref,
+    pos_ref, scl_ref, table_ref, out_ref, buf, acc, obuf, rd_sems, wr_sems,
+    state, fstate
 ):
     """Streaming CSR SpMV, throughput variant: plain f32 run accumulation
     with the 1/Σw row scale applied ONCE at row flush (a per-ROW VPU pass
@@ -438,8 +575,8 @@ def _spmv_kernel_fast(
 
     def rd_dma(t):
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(slots_ref[t] * c, c)],
-            buf.at[pl.ds((t % nbuf) * c, c)],
+            table_ref.at[pl.ds(slots_ref[t] * c, seg_k * c)],
+            buf.at[pl.ds((t % nbuf) * seg_k * c, seg_k * c)],
             rd_sems.at[t % nbuf],
         )
 
@@ -490,13 +627,26 @@ def _spmv_kernel_fast(
 
         z = state[1]
         rd_dma(t).wait()
-        row = buf[pl.ds((t % nbuf) * c, c)].astype(jnp.float32)
-        if table_scale is not None:
-            row = jnp.where(
-                col_iota == slots_ref[t], 1.0, table_scale * row
-            )
-        if weighted:
-            row = row * wts_ref[t]
+        if seg_k == 1:
+            row = buf[pl.ds((t % nbuf) * c, c)].astype(jnp.float32)
+            if table_scale is not None:
+                row = jnp.where(
+                    col_iota == slots_ref[t], 1.0, table_scale * row
+                )
+            if weighted:
+                row = row * wts_ref[t]
+        else:
+            base = (t % nbuf) * seg_k * c
+            row = None
+            for j in range(seg_k):
+                sub = buf[pl.ds(base + j * c, c)].astype(jnp.float32)
+                if table_scale is not None:
+                    sub = jnp.where(
+                        col_iota == slots_ref[t] + j, 1.0,
+                        table_scale * sub,
+                    )
+                sub = sub * wts_ref[t * seg_k + j]
+                row = sub if row is None else row + sub
 
         @pl.when(is_new)
         def _():
@@ -594,20 +744,25 @@ def spmv_pallas_flat(
         unroll = int(os.environ.get("GRAPHTPU_SPMV_UNROLL", "1"))
     tb = stream.block_items
     assert tb % unroll == 0, (tb, unroll)
+    sk = stream.seg_k
     t_total = stream.slots.shape[0]
     grid = (t_total // tb,)
     smem = lambda: pl.BlockSpec((tb,), lambda i: (i,), memory_space=pltpu.SMEM)
+    # per-sub-row coefficients for coalesced streams (seg_k wide)
+    wmem = lambda: pl.BlockSpec(
+        (tb * sk,), lambda i: (i,), memory_space=pltpu.SMEM
+    )
     if mode == "fast":
         kernel = pl.pallas_call(
             _ft.partial(_spmv_kernel_fast, c, nbuf, not stream.uniform,
-                        table_scale, unroll),
+                        table_scale, unroll, sk),
             out_shape=jax.ShapeDtypeStruct(((v + 1) * c,), x.dtype),
             grid=grid,
-            in_specs=[smem(), smem(), smem(), smem(),
+            in_specs=[smem(), wmem(), smem(), smem(),
                       pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((nbuf * c,), x.dtype),
+                pltpu.VMEM((nbuf * sk * c,), x.dtype),
                 pltpu.VMEM((2 * c,), jnp.float32),
                 pltpu.VMEM((2 * c,), x.dtype),
                 pltpu.SemaphoreType.DMA((nbuf,)),
@@ -631,14 +786,14 @@ def spmv_pallas_flat(
             stream.slots, stream.raw_wts, stream.pos, stream.scales, x
         )
     kernel = pl.pallas_call(
-        _ft.partial(_spmv_kernel, c, nbuf, table_scale, unroll),
+        _ft.partial(_spmv_kernel, c, nbuf, table_scale, unroll, sk),
         out_shape=jax.ShapeDtypeStruct(((v + 1) * c,), x.dtype),
         grid=grid,
-        in_specs=[smem(), smem(), smem(),
+        in_specs=[smem(), wmem(), smem(),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((nbuf * c,), x.dtype),
+            pltpu.VMEM((nbuf * sk * c,), x.dtype),
             pltpu.VMEM((2 * 2 * c,), jnp.float32),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -662,7 +817,15 @@ def spmv_pallas_flat(
 def spmv_stream_xla(stream: SpmvStream, x: jax.Array) -> jax.Array:
     """XLA oracle of the streaming plan (CPU tests): segment accumulate
     via the gather + boundary arithmetic of the item run structure."""
-    rows = x[stream.slots] * stream.wts[:, None]
+    k = stream.seg_k
+    if k == 1:
+        rows = x[stream.slots] * stream.wts[:, None]
+    else:
+        w = stream.wts.reshape(-1, k)
+        rows = None
+        for j in range(k):
+            r = x[stream.slots + j] * w[:, j][:, None]
+            rows = r if rows is None else rows + r
     return jax.ops.segment_sum(
         rows, stream.pos, num_segments=stream.n_nodes
     )

@@ -278,7 +278,15 @@ def exact_simrank_spmm(
         # nodes leave real scores untouched
         v = -(-v_real // 1024) * 1024
         g = pad_graph_nodes(g, v)
-        plan = build_spmv_stream(g, weighted=weighted)
+        # GRAPHTPU_SPMV_SEG=k: coalesced k-row-DMA streams (pair with a
+        # core.reorder relabeling for the adjacent-slot fraction)
+        seg = int(os.environ.get("GRAPHTPU_SPMV_SEG", "1"))
+        if seg > 1:
+            from graphtpu.kernels.spmm import build_spmv_segments
+
+            plan = build_spmv_segments(g, weighted=weighted, k=seg)
+        else:
+            plan = build_spmv_stream(g, weighted=weighted)
 
         eager = bool(os.environ.get("GRAPHTPU_EAGER"))
         tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "onejit")
