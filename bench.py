@@ -45,6 +45,8 @@ def _tpu_mode() -> bool:
     """One detection mechanism for orchestrate() and main() (ADVICE r3):
     the axon plugin registers via sitecustomize, so the env var alone can
     miss TPU mode; the plugin .so on disk is the ground truth."""
+    if os.environ.get("GRAPHTPU_BENCH_FORCE_CPU"):
+        return False
     return (
         os.environ.get("JAX_PLATFORMS", "") == "axon"
         or os.path.exists("/opt/axon/libaxon_pjrt.so")
@@ -67,35 +69,81 @@ def orchestrate():
     ]
     log(f"orchestrate: tpu_mode={_tpu_mode()} attempts={attempts}")
     budget = float(os.environ.get("GRAPHTPU_BENCH_TIMEOUT", 3600))
-    for port in attempts:
+
+    def run_member(port, extra_args=()):
         env = dict(os.environ)
         if port is not None:
             env["GRAPHTPU_AXON_MEMBER"] = port
             env["PALLAS_AXON_POOL_IPS"] = ""
         try:
             cp = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run"],
+                [sys.executable, os.path.abspath(__file__), "--run",
+                 *extra_args],
                 stdout=subprocess.PIPE,
                 timeout=budget,
                 env=env,
             )
         except subprocess.TimeoutExpired:
             log(f"bench on member {port}: timed out")
-            continue
+            return None, None
         out = cp.stdout.decode()
         if cp.returncode == CANARY_EXIT:
             log(f"bench on member {port}: canary dead, trying next")
-            continue
+            return None, None
         for line in out.splitlines():
             if line.strip().startswith("{"):
-                print(line.strip())
-                return 0
+                return cp.returncode, line.strip()
         log(f"bench on member {port}: rc={cp.returncode}, no JSON")
+        return cp.returncode, None
+
+    for a_i, port in enumerate(attempts):
+        rc, line = run_member(port)
+        if line is None:
+            continue
+        # per-extras member retry (VERDICT r4 #10): the headline may have
+        # landed on a member whose poisoned HBM skipped the arxiv spmm
+        # extras — retry JUST the spmm suite on the remaining members
+        # rather than shipping a result with a skipped section
+        try:
+            result = json.loads(line)
+        except Exception:
+            print(line)
+            return 0
+        extras = result.get("extras", {})
+        if (
+            _tpu_mode()
+            and "spmm_arxiv_ms_per_iter" not in extras
+        ):
+            for port2 in attempts[a_i + 1:]:
+                log(f"retrying spmm extras on member {port2}")
+                _, line2 = run_member(port2, ("--spmm-only",))
+                if line2 is None:
+                    continue
+                try:
+                    extras.update(json.loads(line2))
+                except Exception:
+                    continue
+                if "spmm_arxiv_ms_per_iter" in extras:
+                    break
+            result["extras"] = extras
+        print(json.dumps(result))
+        return 0
     log("bench: no member produced a result")
     return 1
 
 
+def _maybe_force_cpu():
+    # GRAPHTPU_BENCH_FORCE_CPU=1: smoke-test the bench flow off-TPU.  The
+    # axon plugin OVERRIDES JAX_PLATFORMS=cpu (CLAUDE.md), so this must
+    # go through jax.config before first backend use.
+    if os.environ.get("GRAPHTPU_BENCH_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _maybe_force_cpu()
     import jax
     import jax.numpy as jnp
 
@@ -225,7 +273,7 @@ def main():
     except Exception as e:  # pragma: no cover - environment failures
         log(f"secondary_metrics failed: {e!r}")
     try:
-        extras.update(spmm_metrics())
+        extras.update(spmm_metrics(g))
     except Exception as e:  # pragma: no cover - environment failures
         log(f"spmm_metrics failed: {e!r}")
     done.set()
@@ -338,75 +386,146 @@ def secondary_metrics(g):
     return extras
 
 
-def spmm_metrics():
-    """Streaming-SpMM SimRank per-iter at arxiv — the bandwidth-bound
-    headline (VERDICT r2 #10): regressions in ``kernels/spmm.py`` must be
-    visible per round.  Effective GB/s counts the kernel's actual DMA
-    traffic: 2 SpMV products/iter, each (E_slots + V) row DMAs of V·4B."""
-    import time
+ARXIV = "/root/reference/DeepSim/lshrank_data/realdata/arxiv_author_pub.txt"
 
-    import graphtpu
+
+def _spmm_suite(g, name, modes, iters=10):
+    """Composed streaming-SpMM SimRank per-iter on one dataset — genuinely
+    warm second-call timings with the cached ``_spmm_stages`` executables
+    (VERDICT r4 #1).  Effective GB/s counts useful DMA traffic: 2 SpMV
+    products/iter, each (E_slots + V) row reads + V row writes of V·esize.
+
+    ``modes``: (tag, spmv_mode, dtype, esize, seg) tuples; a mode that
+    dies (compile-service death, OOM) must not discard earlier modes."""
+    import jax
+
     from graphtpu.core.config import SimRankConfig
     from graphtpu.simrank.exact import exact_simrank_spmm
 
-    arxiv = "/root/reference/DeepSim/lshrank_data/realdata/arxiv_author_pub.txt"
-    if not os.path.exists(arxiv):
-        return {}
-    import jax
-    import jax.numpy as jnp
-
-    if jax.default_backend() != "cpu":
-        try:
-            # the arxiv loop needs two ~6 GB iterates; a member whose HBM
-            # is poisoned by a crashed session passes the canary but
-            # cannot hold them — skip fast instead of OOMing mid-loop
-            a = jnp.zeros((1408, 1024, 1024), jnp.float32) + 1
-            b = jnp.zeros((1408, 1024, 1024), jnp.float32) + 2
-            jax.block_until_ready((a, b))
-            del a, b
-        except Exception as e:
-            log(f"spmm skipped: HBM probe failed ({e!r})")
-            return {}
-    g = graphtpu.read_edgelist_graph(arxiv, n_nodes=38912)
-    iters = 10
     out = {}
-    for mode, dtype, esize in (
-        ("kahan", jnp.float32, 4.0),
-        ("fast", jnp.float32, 4.0),
-        ("fast16", jnp.bfloat16, 2.0),  # bf16 iterates, f32 accumulation
-    ):
+    for tag, smode, dtype, esize, seg in modes:
         try:
             bytes_per_iter = (
                 2.0 * (g.n_edges + g.n_nodes) * g.n_nodes * esize
             )
-            smode = "fast" if mode == "fast16" else mode
+            kw = dict(spmv_mode=smode, dtype=dtype, spmv_seg=seg,
+                      impl="pallas")
             t0 = time.time()
-            s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
-                                   spmv_mode=smode, dtype=dtype)
+            s = exact_simrank_spmm(g, SimRankConfig(iterations=iters), **kw)
             s.block_until_ready()
-            log(f"spmm arxiv {mode} warmup(compile + {iters} iters): "
+            log(f"spmm {name} {tag} warmup(compile + {iters} iters): "
                 f"{time.time()-t0:.1f}s")
-            del s  # two live [V,V] f32 iterates would exceed HBM
+            del s  # two live [V,V] f32 iterates would exceed HBM at arxiv
             t0 = time.time()
-            s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
-                                   spmv_mode=smode, dtype=dtype)
+            s = exact_simrank_spmm(g, SimRankConfig(iterations=iters), **kw)
             s.block_until_ready()
             per = (time.time() - t0) / iters
             del s
-            log(f"spmm arxiv {mode}: {per*1e3:.1f} ms/iter, "
+            log(f"spmm {name} {tag}: {per*1e3:.1f} ms/iter, "
                 f"{bytes_per_iter/per/1e9:.0f} GB/s effective")
-            key = "spmm_arxiv" if mode == "kahan" else f"spmm_arxiv_{mode}"
+            key = f"spmm_{name}" if tag == "kahan" else f"spmm_{name}_{tag}"
             out[f"{key}_ms_per_iter"] = round(per * 1e3, 1)
             out[f"{key}_gbps"] = round(bytes_per_iter / per / 1e9, 0)
         except Exception as e:  # pragma: no cover - env failures
-            # a mode that dies (compile-service death, OOM) must not
-            # discard the modes already measured
-            log(f"spmm arxiv {mode} failed: {e!r}")
+            log(f"spmm {name} {tag} failed: {e!r}")
     return out
+
+
+def _hbm_probe(gib=12):
+    """Allocate two arxiv-iterate-sized buffers; a member whose HBM is
+    poisoned by a crashed session passes the canary but cannot hold them."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        return True
+    try:
+        a = jnp.zeros((1408, 1024, 1024), jnp.float32) + 1
+        b = jnp.zeros((1408, 1024, 1024), jnp.float32) + 2
+        jax.block_until_ready((a, b))
+        del a, b
+        return True
+    except Exception as e:
+        log(f"hbm probe failed ({e!r})")
+        return False
+
+
+def spmm_metrics(blog_g=None):
+    """Streaming-SpMM SimRank per-iter — the bandwidth-bound headline
+    (VERDICT r2 #10, r4 #1).  arxiv is the target scale; when the pool
+    member's HBM cannot hold arxiv iterates (leak-poisoned), fall back to
+    the blog-scale composed loop so a half-dead pool still yields a
+    composed number instead of ``skipped`` (VERDICT r4 #10)."""
+    import jax
+    import jax.numpy as jnp
+
+    import graphtpu
+    from graphtpu.core.reorder import bfs_order, relabel_graph
+
+    if jax.default_backend() == "cpu":
+        log("spmm suite skipped: pallas streaming kernels are TPU-only")
+        return {}
+    out = {}
+    arxiv_ok = os.path.exists(ARXIV) and _hbm_probe()
+    if arxiv_ok:
+        g = graphtpu.read_edgelist_graph(ARXIV, n_nodes=38912)
+        out.update(_spmm_suite(g, "arxiv", [
+            ("kahan", "kahan", jnp.float32, 4.0, 1),
+            ("fast", "fast", jnp.float32, 4.0, 1),
+            ("fast16", "fast", jnp.bfloat16, 2.0, 1),
+        ]))
+        # coalesced 2-row-DMA stream on the BFS-relabelled graph (the
+        # adjacent-slot fraction is what the segment plan exploits)
+        try:
+            g2, _ = relabel_graph(g, bfs_order(g))
+            out.update(_spmm_suite(g2, "arxiv", [
+                ("fast_seg2", "fast", jnp.float32, 4.0, 2),
+            ]))
+        except Exception as e:  # pragma: no cover
+            log(f"spmm arxiv seg2 failed: {e!r}")
+        del g
+    # blog-scale composed loop: cheap, fits a poisoned member, and gives
+    # the spmm_blog_* numbers VERDICT r4 #1 asks for alongside arxiv
+    if blog_g is not None:
+        try:
+            out.update(_spmm_suite(blog_g, "blog", [
+                ("fast", "fast", jnp.float32, 4.0, 1),
+            ]))
+            g2, _ = relabel_graph(blog_g, bfs_order(blog_g))
+            out.update(_spmm_suite(g2, "blog", [
+                ("fast_seg2", "fast", jnp.float32, 4.0, 2),
+            ]))
+        except Exception as e:  # pragma: no cover
+            log(f"spmm blog failed: {e!r}")
+    return out
+
+
+def spmm_only():
+    """Extras-only entry (orchestrate retry path): canary, then just the
+    spmm suite; prints the extras dict as the JSON line."""
+    _maybe_force_cpu()
+    import jax
+
+    import graphtpu
+
+    log(f"devices: {jax.devices()}")
+    if jax.default_backend() != "cpu":
+        from graphtpu.axon_pin import canary
+
+        canary(timeout_s=180.0, exit_code=CANARY_EXIT)
+    if os.path.exists(BLOG):
+        g = graphtpu.read_edgelist_graph(BLOG, n_nodes=10496)
+    else:
+        g = None
+    out = spmm_metrics(g)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
     if "--run" in sys.argv:
-        main()
+        if "--spmm-only" in sys.argv:
+            spmm_only()
+        else:
+            main()
     else:
         sys.exit(orchestrate())

@@ -241,6 +241,7 @@ def exact_simrank_spmm(
     impl: str = "auto",
     spmv_mode: str = "kahan",
     interpret: bool = False,
+    spmv_seg: Optional[int] = None,
 ) -> jax.Array:
     """Exact SimRank with SPARSE P·S / (P·Sᵀ) products (diag zeroed).
 
@@ -278,9 +279,14 @@ def exact_simrank_spmm(
         # nodes leave real scores untouched
         v = -(-v_real // 1024) * 1024
         g = pad_graph_nodes(g, v)
-        # GRAPHTPU_SPMV_SEG=k: coalesced k-row-DMA streams (pair with a
-        # core.reorder relabeling for the adjacent-slot fraction)
-        seg = int(os.environ.get("GRAPHTPU_SPMV_SEG", "1"))
+        # spmv_seg=k (or GRAPHTPU_SPMV_SEG=k): coalesced k-row-DMA
+        # streams (pair with a core.reorder relabeling for the
+        # adjacent-slot fraction)
+        seg = (
+            spmv_seg
+            if spmv_seg is not None
+            else int(os.environ.get("GRAPHTPU_SPMV_SEG", "1"))
+        )
         if seg > 1:
             from graphtpu.kernels.spmm import build_spmv_segments
 
