@@ -1,0 +1,275 @@
+"""Round-5 one-process chip session (CLAUDE.md: pack a session's work
+into ONE process):
+
+  1. BlogCatalog micro-F1 revalidation on the CURRENT stack at the
+     reference budget (VERDICT r4 #5): 10 x 80 walks, d=128, window 10,
+     10 epochs, p=q=0.25, TopKRanker protocol, 3 shuffles x {10,50,90}%.
+  2. fast16 parity at arxiv (top-20 agreement vs kahan) + the V-range
+     demo: dense-state streaming SimRank at a V whose f32 iterates
+     cannot fit one chip but bf16 can (VERDICT r4 #8).
+  3. Parked-kernel adjudication (VERDICT r4 #6): pallas tiled transpose
+     vs the XLA onejit at arxiv; segsum_pallas vs the production
+     sort+cumsum path at the blog shape.
+
+Each part is fault-isolated; results append to results/r5_batch.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BLOG_EDGES = "/root/reference/DeepSim/lshrank_data/realdata/blog.txt"
+BLOG_MAT = "/root/reference/node2vec/src/blogcatalog.mat"
+ARXIV = "/root/reference/DeepSim/lshrank_data/realdata/arxiv_author_pub.txt"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "results", "r5_batch.json",
+)
+
+RES = {}
+
+
+def save(k, v):
+    RES[k] = v
+    with open(OUT, "w") as f:
+        json.dump(RES, f, indent=1)
+    print(f"[batch] {k}: {json.dumps(v)}", flush=True)
+
+
+def part_f1():
+    import jax
+
+    import graphtpu
+    from graphtpu.core.config import SGNSConfig, WalkConfig
+    from graphtpu.eval.f1 import topk_ranker_scoring
+    from graphtpu.io.matfile import labels_to_lists, load_blogcatalog
+    from graphtpu.pipelines import node2vec_pipeline
+
+    g = graphtpu.read_edgelist_graph(BLOG_EDGES, n_nodes=10313)
+    t0 = time.time()
+    emb = node2vec_pipeline(
+        g,
+        walk_cfg=WalkConfig(num_walks=10, walk_length=80, p=0.25, q=0.25),
+        sgns_cfg=SGNSConfig(dim=128, window=10, epochs=10),
+        seed=0,
+    )
+    train_s = time.time() - t0
+    print(f"[f1] pipeline: {train_s:.1f}s", flush=True)
+    _, group = load_blogcatalog(BLOG_MAT)
+    labels = labels_to_lists(group)
+    n = group.shape[0]
+    feats = emb[1 : n + 1]  # mat row i -> graph id i+1 (classify.py:192)
+    res = topk_ranker_scoring(
+        feats, labels, group.shape[1],
+        train_fractions=[0.1, 0.5, 0.9], n_shuffles=3, verbose=True,
+    )
+    save("blogcatalog_f1", {
+        "train_s": round(train_s, 1),
+        **{
+            str(k): round(float(np.mean([r["micro"] for r in v])), 4)
+            for k, v in res.items()
+        },
+        "macro": {
+            str(k): round(float(np.mean([r["macro"] for r in v])), 4)
+            for k, v in res.items()
+        },
+    })
+
+
+def part_fast16(hbm_full):
+    import jax
+    import jax.numpy as jnp
+
+    import graphtpu
+    from graphtpu.core.config import SimRankConfig
+    from graphtpu.simrank.exact import exact_simrank_spmm
+
+    if hbm_full and os.path.exists(ARXIV):
+        g = graphtpu.read_edgelist_graph(ARXIV, n_nodes=38912)
+        t0 = time.time()
+        s_k = exact_simrank_spmm(g, SimRankConfig(iterations=3),
+                                 spmv_mode="kahan")
+        vk, ik = jax.jit(lambda s: jax.lax.top_k(s[:512], 20))(s_k)
+        ik = np.asarray(ik)
+        del s_k, vk
+        print(f"[fast16] kahan 3 iters: {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        s_f = exact_simrank_spmm(g, SimRankConfig(iterations=3),
+                                 spmv_mode="fast", dtype=jnp.bfloat16)
+        vf, if_ = jax.jit(
+            lambda s: jax.lax.top_k(s[:512].astype(jnp.float32), 20)
+        )(s_f)
+        if_ = np.asarray(if_)
+        del s_f, vf
+        print(f"[fast16] fast16 3 iters: {time.time()-t0:.1f}s", flush=True)
+        agree = np.mean([
+            len(set(ik[r]) & set(if_[r])) / 20 for r in range(512)
+        ])
+        save("fast16_arxiv_top20_agreement", round(float(agree), 4))
+        del g
+
+    # V-range demo: V=45000 -> padded 45056; two f32 iterates = 16.2 GB
+    # (over one v5e's HBM), two bf16 iterates = 8.1 GB (fits).
+    v = 45_000
+    rng = np.random.default_rng(3)
+    e = 8 * v
+    edges = rng.integers(0, v, size=(e, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    ring = np.stack([np.arange(v), (np.arange(v) + 1) % v], 1)
+    g = graphtpu.build_graph(np.concatenate([edges, ring]), n_nodes=v)
+    iters = 3
+    t0 = time.time()
+    s = exact_simrank_spmm(g, SimRankConfig(iterations=iters),
+                           spmv_mode="fast", dtype=jnp.bfloat16)
+    vals, idx = jax.jit(
+        lambda s: jax.lax.top_k(s[:256].astype(jnp.float32), 20)
+    )(s)
+    vals = np.asarray(vals)
+    wall = time.time() - t0
+    del s, idx
+    save("fast16_vrange_demo", {
+        "V": v, "iters": iters, "wall_s": round(wall, 1),
+        "per_iter_est_s": round(wall / iters, 1),
+        "top1_mean": round(float(vals[:, 0].mean()), 5),
+        "note": "f32 iterates (2x8.1GB) exceed one v5e HBM; bf16 runs",
+    })
+
+
+def part_transpose(hbm_full):
+    """GRAPHTPU_SPMM_TP adjudication: time the pallas tiled flat
+    transpose vs the onejit on the arxiv iterate shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphtpu.simrank.exact import _spmm_stages
+
+    v = 39936 if hbm_full else 11264  # arxiv-padded or blog-padded
+    st = _spmm_stages(v, v, 0.6, False, jnp.float32, False, "onejit")
+    out = {}
+    for tag in ("transpose_onejit", "transpose_pallas"):
+        try:
+            fn = st[tag]
+            # onejit donates its input; rebuild x for every call
+            x = jnp.zeros(((v + 1) * v,), jnp.float32) + 1.0
+            y = fn(x)
+            jax.block_until_ready(y)
+            del x, y
+            best = 1e9
+            for _ in range(3):
+                x2 = jnp.zeros(((v + 1) * v,), jnp.float32) + 1.0
+                jax.block_until_ready(x2)
+                t0 = time.time()
+                y = fn(x2)
+                jax.block_until_ready(y)
+                best = min(best, time.time() - t0)
+                del x2, y
+            out[tag] = round(best * 1e3, 1)  # noqa: F821
+            print(f"[tp] {tag}: {best*1e3:.1f} ms", flush=True)
+        except Exception as e:
+            out[tag] = f"failed: {e!r}"
+            print(f"[tp] {tag} failed: {e!r}", flush=True)
+    save(f"transpose_ms_v{v}", out)
+
+
+def part_segsum():
+    """segsum_pallas vs the production sort+cumsum segment_rows_sum at
+    the blog shape [205k, 128] -> [10313, 128]."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphtpu.kernels.topk import segment_rows_sum
+
+    n, d, s = 204800, 128, 10313
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(np.sort(rng.integers(0, s, size=n)).astype(np.int32))
+    rows = jnp.asarray(rng.random((n, d)).astype(np.float32))
+
+    out = {}
+    f_sort = jax.jit(lambda i, r: segment_rows_sum(i, r, s))
+    y = f_sort(ids, rows)
+    jax.block_until_ready(y)
+    best = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(f_sort(ids, rows))
+        best = min(best, time.time() - t0)
+    out["sort_cumsum_ms"] = round(best * 1e3, 2)
+    try:
+        from graphtpu.kernels.segsum_pallas import segment_rows_sum_pallas
+
+        f_pal = jax.jit(lambda i, r: segment_rows_sum_pallas(i, r, s))
+        y = f_pal(ids, rows)
+        jax.block_until_ready(y)
+        best = 1e9
+        for _ in range(5):
+            t0 = time.time()
+            jax.block_until_ready(f_pal(ids, rows))
+            best = min(best, time.time() - t0)
+        out["pallas_ms"] = round(best * 1e3, 2)
+    except Exception as e:
+        out["pallas_ms"] = f"failed: {e!r}"
+    save("segsum_blogshape", out)
+
+
+def main():
+    import jax
+
+    if os.environ.get("GRAPHTPU_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    if os.path.exists(OUT):
+        RES.update(json.load(open(OUT)))
+    if jax.default_backend() != "cpu":
+        from graphtpu.axon_pin import canary
+
+        canary(timeout_s=180.0)
+        import jax.numpy as jnp
+
+        def _fits(gib_each):
+            try:
+                n = int(gib_each * 2**30 / 4 / (1024 * 1024))
+                a = jnp.zeros((n, 1024, 1024), jnp.float32) + 1
+                b = jnp.zeros((n, 1024, 1024), jnp.float32) + 2
+                jax.block_until_ready((a, b))
+                del a, b
+                return True
+            except Exception:
+                return False
+
+        hbm_full = _fits(5.7)
+        print(f"[batch] hbm full tier: {hbm_full}", flush=True)
+        if not hbm_full and not _fits(1.5):
+            print("[batch] member poisoned beyond use", flush=True)
+            os._exit(3)
+    else:
+        hbm_full = True
+
+    import faulthandler
+
+    faulthandler.dump_traceback_later(900, repeat=True)
+
+    only = set(sys.argv[1:])
+    t00 = time.time()
+    for name, fn in (
+        ("f1", part_f1),
+        ("fast16", lambda: part_fast16(hbm_full)),
+        ("transpose", lambda: part_transpose(hbm_full)),
+        ("segsum", part_segsum),
+    ):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            fn()
+            print(f"[batch] {name} done {time.time()-t0:.0f}s "
+                  f"(total {time.time()-t00:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"[batch] {name} FAILED {e!r}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
