@@ -148,7 +148,7 @@ def part_transpose(hbm_full):
 
     from graphtpu.simrank.exact import _spmm_stages
 
-    v = 39936 if hbm_full else 11264  # arxiv-padded or blog-padded
+    v = 38912 if hbm_full else 11264  # arxiv-padded or blog-padded
     st = _spmm_stages(v, v, 0.6, False, jnp.float32, False, "onejit")
     out = {}
     for tag in ("transpose_onejit", "transpose_pallas"):
