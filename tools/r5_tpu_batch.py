@@ -217,6 +217,7 @@ def part_segsum():
 
 
 def main():
+    import graphtpu  # noqa: F401 - registers the pinned pool member
     import jax
 
     if os.environ.get("GRAPHTPU_FORCE_CPU"):
