@@ -242,8 +242,10 @@ def main():
                 return False
 
         hbm_full = _fits(5.7)
-        print(f"[batch] hbm full tier: {hbm_full}", flush=True)
-        if not hbm_full and not _fits(1.5):
+        hbm_small = hbm_full or _fits(0.15)  # f1/segsum need ~100 MB
+        print(f"[batch] hbm tiers: full={hbm_full} small={hbm_small}",
+              flush=True)
+        if not hbm_small:
             print("[batch] member poisoned beyond use", flush=True)
             os._exit(3)
     else:
@@ -262,6 +264,10 @@ def main():
         ("segsum", part_segsum),
     ):
         if only and name not in only:
+            continue
+        if name in ("fast16", "transpose") and not hbm_full:
+            print(f"[batch] {name} skipped: needs the full HBM tier",
+                  flush=True)
             continue
         t0 = time.time()
         try:
