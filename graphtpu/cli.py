@@ -58,6 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="spmm numerics: exact-f32 Kahan, fast f32, or bf16 "
              "iterates with f32 accumulation (half HBM + bytes)",
     )
+    sr.add_argument(
+        "--relabel", default="none",
+        choices=["none", "bfs", "rcm", "degree"],
+        help="locality relabeling before compute (coalesced-DMA + gather "
+             "locality); output ids are mapped back",
+    )
+    sr.add_argument(
+        "--seg", type=int, default=1,
+        help="spmm: k-row coalesced DMA segments (pair with --relabel)",
+    )
 
     uw = sub.add_parser("uniwalk", help="single-walk MC SimRank")
     uw.add_argument("--input", required=True)
@@ -276,16 +286,38 @@ def main(argv=None) -> int:
         from graphtpu.simrank.exact import exact_simrank, exact_simrank_spmm
 
         cfg = SimRankConfig(c=args.c, iterations=args.iterations)
+        order = None
+        if args.relabel != "none":
+            from graphtpu.core.reorder import (
+                bfs_order,
+                degree_order,
+                rcm_order,
+                relabel_graph,
+            )
+
+            ofn = {"bfs": bfs_order, "rcm": rcm_order,
+                   "degree": degree_order}[args.relabel]
+            order = np.asarray(ofn(g), np.int64)
+            g, _inv = relabel_graph(g, order)
         if args.engine == "spmm":
             sim = exact_simrank_spmm(
                 g, cfg, weighted=args.weighted,
                 spmv_mode="fast" if args.mode == "fast16" else args.mode,
                 dtype=jnp.bfloat16 if args.mode == "fast16" else jnp.float32,
+                spmv_seg=args.seg,
             )
         else:
             sim = exact_simrank(g, cfg, weighted=args.weighted)
         vals, idx = topk_rows(jnp.asarray(sim), args.topk)
-        write_topk_files(args.output, np.asarray(idx), np.asarray(vals))
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        if order is not None:
+            # map back to original ids: row new_i is original order[new_i],
+            # neighbour new_j is original order[new_j]
+            inv_rows = np.empty(len(order), np.int64)
+            inv_rows[order] = np.arange(len(order))
+            vals = vals[inv_rows]
+            idx = order[idx[inv_rows]].astype(np.int32)
+        write_topk_files(args.output, idx, vals)
         print(f"wrote {args.output}(.sim.txt)")
         return 0
 

@@ -178,3 +178,24 @@ def test_cli_topsim_enumerate(tmp_path, graph_file):
     assert rc == 0
     sims = read_sim_file(out + ".sim.txt")
     assert len(sims) > 0
+
+
+def test_cli_simrank_relabel_maps_back(tmp_path, graph_file):
+    """--relabel computes on the reordered graph but writes ORIGINAL ids:
+    output must match the unrelabelled run exactly."""
+    out0 = str(tmp_path / "plain.txt")
+    out1 = str(tmp_path / "rcm.txt")
+    common = ["simrank", "--input", graph_file, "--iterations", "3",
+              "--topk", "5"]
+    assert cli_main(common + ["--output", out0]) == 0
+    assert cli_main(common + ["--output", out1, "--relabel", "rcm"]) == 0
+    s0 = read_sim_file(out0 + ".sim.txt")
+    s1 = read_sim_file(out1 + ".sim.txt")
+    assert set(s0) == set(s1)
+    for node, pairs in s0.items():
+        d0 = dict(pairs)
+        d1 = dict(s1[node])
+        # ties at the top-k boundary may order differently; compare values
+        for k in set(d0) & set(d1):
+            assert abs(d0[k] - d1[k]) < 1e-5
+        assert len(set(d0) & set(d1)) >= len(d0) - 2
