@@ -46,3 +46,18 @@ def test_kahan_rejects_bf16():
     x = jnp.zeros((v * v,), jnp.bfloat16)
     with pytest.raises(AssertionError):
         spmv_pallas_flat(stream, x, v, mode="kahan", interpret=True)
+
+
+def test_fast16_seg2_matches_gold_ranking(small_random):
+    """Coalesced 2-row-DMA segments compose with bf16 iterates (the
+    production throughput combination)."""
+    g = small_random
+    gold = np.asarray(exact_simrank(g, SimRankConfig(iterations=3)))
+    a16 = np.asarray(
+        exact_simrank_spmm(
+            g, SimRankConfig(iterations=3), impl="pallas",
+            interpret=True, spmv_mode="fast", dtype=jnp.bfloat16,
+            spmv_seg=2,
+        ).astype(jnp.float32)
+    )
+    assert np.abs(a16 - gold).max() < 1e-2
