@@ -1,0 +1,84 @@
+"""Patient member-cycling driver for tools/r5_tpu_batch.py.
+
+Pool members recover on their own schedule (~30-60 min after their last
+client dies; a recycled worker restarts with CLEAN HBM).  This loops
+over members, launching the REAL batch each time (which opens with its
+own in-process canary — no throwaway probes, CLAUDE.md protocol), until
+every requested part has produced a result or the budget expires.
+
+Usage: python tools/r5_orchestrate.py [budget_s] [part ...]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(os.path.dirname(HERE), "results", "r5_batch.json")
+
+PART_KEYS = {
+    "f1": ["blogcatalog_f1"],
+    "fast16": ["fast16_vrange_demo"],
+    "transpose": ["transpose_ms_v38912"],
+    "segsum": ["segsum_blogshape"],
+}
+
+
+def done_parts():
+    try:
+        res = json.load(open(OUT))
+    except Exception:
+        return set()
+    return {p for p, keys in PART_KEYS.items()
+            if all(k in res for k in keys)}
+
+
+def main():
+    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 3 * 3600
+    want = set(sys.argv[2:]) or set(PART_KEYS)
+    deadline = time.time() + budget
+    members = ["8092", "8102", "8112", "8082", None]
+    cycle = 0
+    while time.time() < deadline:
+        missing = want - done_parts()
+        if not missing:
+            print(f"[orch] all parts done: {sorted(want)}", flush=True)
+            return 0
+        cycle += 1
+        print(f"[orch] cycle {cycle}: missing {sorted(missing)}",
+              flush=True)
+        for port in members:
+            if not (want - done_parts()):
+                return 0
+            env = dict(os.environ)
+            if port is not None:
+                env["GRAPHTPU_AXON_MEMBER"] = port
+                env["PALLAS_AXON_POOL_IPS"] = ""
+            else:
+                env.pop("GRAPHTPU_AXON_MEMBER", None)
+            t0 = time.time()
+            try:
+                cp = subprocess.run(
+                    [sys.executable, os.path.join(HERE, "r5_tpu_batch.py"),
+                     *sorted(want - done_parts())],
+                    timeout=min(3600, max(300, deadline - time.time())),
+                    env=env,
+                )
+                rc = cp.returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
+            print(f"[orch] member {port}: rc={rc} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        if want - done_parts():
+            print("[orch] cycle complete; sleeping 600s for pool recovery",
+                  flush=True)
+            time.sleep(600)
+    print(f"[orch] budget expired; missing {sorted(want - done_parts())}",
+          flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
