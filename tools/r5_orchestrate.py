@@ -22,6 +22,7 @@ PART_KEYS = {
     "f1": ["blogcatalog_f1"],
     "fast16": ["fast16_vrange_demo"],
     "transpose": ["transpose_ms_v38912"],
+    "walkloc": ["walk_locality_arxiv"],
     "segsum": ["segsum_blogshape"],
 }
 

@@ -176,6 +176,48 @@ def part_transpose(hbm_full):
     save(f"transpose_ms_v{v}", out)
 
 
+def part_walkloc():
+    """Walk-gather locality on a REAL graph: uniform-walk rate on arxiv
+    before/after RCM relabeling (same executable — shapes unchanged).
+    The synthetic flagship graph is an expander (relabeling can't
+    localise it); arxiv has real community structure."""
+    import jax
+    import jax.numpy as jnp
+
+    import graphtpu
+    from graphtpu.core.reorder import locality_score, rcm_order, relabel_graph
+    from graphtpu.walks.walker import uniform_walks
+
+    g = graphtpu.read_edgelist_graph(ARXIV, n_nodes=38912)
+    key = jax.random.key(0)
+    nodes = np.flatnonzero(np.asarray(g.deg) > 0).astype(np.int32)
+    b, l = 65536, 40
+    starts = jnp.asarray(np.random.default_rng(1).choice(nodes, size=b))
+    walk_fn = jax.jit(lambda gg, s, k: uniform_walks(gg, s, l, k))
+
+    def timed(gg, ss):
+        jax.block_until_ready(walk_fn(gg, ss, key))
+        best = 1e9
+        for _ in range(4):
+            t0 = time.time()
+            jax.block_until_ready(walk_fn(gg, ss, key))
+            best = min(best, time.time() - t0)
+        return best
+
+    base = timed(g, starts)
+    g2, inv = relabel_graph(g, rcm_order(g))
+    starts2 = jnp.asarray(np.asarray(inv)[np.asarray(starts)])
+    rel = timed(g2, starts2)
+    save("walk_locality_arxiv", {
+        "base_ms": round(base * 1e3, 1),
+        "rcm_ms": round(rel * 1e3, 1),
+        "base_mhops": round(b * l / base / 1e6, 1),
+        "rcm_mhops": round(b * l / rel / 1e6, 1),
+        "locality_before": round(locality_score(g), 4),
+        "locality_after": round(locality_score(g2), 4),
+    })
+
+
 def part_segsum():
     """segsum_pallas vs the production sort+cumsum segment_rows_sum at
     the blog shape [205k, 128] -> [10313, 128]."""
@@ -269,6 +311,7 @@ def main():
         ("f1", part_f1),
         ("fast16", lambda: part_fast16(hbm_full)),
         ("transpose", lambda: part_transpose(hbm_full)),
+        ("walkloc", part_walkloc),
         ("segsum", part_segsum),
     ):
         if only and name not in only:
