@@ -36,11 +36,13 @@ def main():
     from graphtpu.axon_pin import canary
 
     canary(timeout_s=180.0, exit_code=3)
-    # ~n_loop x 8k^3 bf16 matmuls ~ n_loop x 2.7 ms on a v5e MXU at
-    # peak; 200_000 iterations ~ 9 minutes of device time in ONE
-    # execution — far past the worker watchdog.
-    n_loop = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    x = jnp.ones((8192, 8192), jnp.bfloat16)
+    # SMALL footprint (one 2048^2 bf16 operand = 8 MB — must fit even a
+    # fully leak-poisoned member) but LONG device time: 2048^3 bf16
+    # ~ 0.1 ms/iter on a v5e MXU; 5M iterations ~ minutes in ONE
+    # execution — past the worker watchdog, which kills + restarts the
+    # worker and frees every buffer this member has leaked.
+    n_loop = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    x = jnp.ones((2048, 2048), jnp.bfloat16)
 
     @jax.jit
     def burn(x, n):
