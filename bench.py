@@ -444,6 +444,9 @@ def _hbm_probe(gib=12):
         b = jnp.zeros((1408, 1024, 1024), jnp.float32) + 2
         jax.block_until_ready((a, b))
         del a, b
+        # flush the dealloc queue: an os._exit before the async frees
+        # reach the worker would LEAK the probe buffers into the pool
+        jax.block_until_ready(jnp.zeros((8,)) + 1)
         return True
     except Exception as e:
         log(f"hbm probe failed ({e!r})")

@@ -279,6 +279,9 @@ def main():
                 b = jnp.zeros((n, 1024, 1024), jnp.float32) + 2
                 jax.block_until_ready((a, b))
                 del a, b
+                # flush async frees before any later os._exit (leak
+                # hazard into the shared pool HBM)
+                jax.block_until_ready(jnp.zeros((8,)) + 1)
                 return True
             except Exception:
                 return False
