@@ -113,6 +113,7 @@ def orchestrate():
         if (
             _tpu_mode()
             and "spmm_arxiv_ms_per_iter" not in extras
+            and os.path.exists(ARXIV)  # no member can fix a missing file
         ):
             for port2 in attempts[a_i + 1:]:
                 log(f"retrying spmm extras on member {port2}")
@@ -431,26 +432,33 @@ def _spmm_suite(g, name, modes, iters=10):
     return out
 
 
-def _hbm_probe(gib=12):
-    """Allocate two arxiv-iterate-sized buffers; a member whose HBM is
-    poisoned by a crashed session passes the canary but cannot hold them."""
+def _hbm_probe(gib_each=5.5):
+    """Allocate two ``gib_each``-sized buffers (default: arxiv f32
+    iterates); a member whose HBM is poisoned by a crashed session
+    passes the canary but cannot hold them."""
     import jax
     import jax.numpy as jnp
 
     if jax.default_backend() == "cpu":
         return True
     try:
-        a = jnp.zeros((1408, 1024, 1024), jnp.float32) + 1
-        b = jnp.zeros((1408, 1024, 1024), jnp.float32) + 2
+        n = int(gib_each * 2**30 / 4 / (1024 * 1024))
+        a = jnp.zeros((n, 1024, 1024), jnp.float32) + 1
+        b = jnp.zeros((n, 1024, 1024), jnp.float32) + 2
         jax.block_until_ready((a, b))
         del a, b
-        # flush the dealloc queue: an os._exit before the async frees
-        # reach the worker would LEAK the probe buffers into the pool
-        jax.block_until_ready(jnp.zeros((8,)) + 1)
         return True
     except Exception as e:
         log(f"hbm probe failed ({e!r})")
         return False
+    finally:
+        # flush the dealloc queue on BOTH paths: an exit before the
+        # async frees reach the worker would LEAK probe buffers into
+        # the shared pool (a failed probe may hold its first buffer)
+        try:
+            jax.block_until_ready(jnp.zeros((8,)) + 1)
+        except Exception:
+            pass
 
 
 def spmm_metrics(blog_g=None):

@@ -298,7 +298,7 @@ def main(argv=None) -> int:
             ofn = {"bfs": bfs_order, "rcm": rcm_order,
                    "degree": degree_order}[args.relabel]
             order = np.asarray(ofn(g), np.int64)
-            g, _inv = relabel_graph(g, order)
+            g, inv = relabel_graph(g, order)
         if args.engine == "spmm":
             sim = exact_simrank_spmm(
                 g, cfg, weighted=args.weighted,
@@ -313,8 +313,7 @@ def main(argv=None) -> int:
         if order is not None:
             # map back to original ids: row new_i is original order[new_i],
             # neighbour new_j is original order[new_j]
-            inv_rows = np.empty(len(order), np.int64)
-            inv_rows[order] = np.arange(len(order))
+            inv_rows = np.asarray(inv, np.int64)  # inv[old] = new
             vals = vals[inv_rows]
             idx = order[idx[inv_rows]].astype(np.int32)
         write_topk_files(args.output, idx, vals)

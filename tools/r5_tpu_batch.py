@@ -279,12 +279,17 @@ def main():
                 b = jnp.zeros((n, 1024, 1024), jnp.float32) + 2
                 jax.block_until_ready((a, b))
                 del a, b
-                # flush async frees before any later os._exit (leak
-                # hazard into the shared pool HBM)
-                jax.block_until_ready(jnp.zeros((8,)) + 1)
                 return True
             except Exception:
                 return False
+            finally:
+                # flush async frees on BOTH paths before any later
+                # os._exit — a failed probe may still have allocated
+                # its first buffer (leak hazard into the shared pool)
+                try:
+                    jax.block_until_ready(jnp.zeros((8,)) + 1)
+                except Exception:
+                    pass
 
         if os.environ.get("GRAPHTPU_BATCH_NO_PROBE"):
             # last-resort mode: skip tier gating (the f1/segsum parts
