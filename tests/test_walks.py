@@ -198,3 +198,33 @@ def test_walks_deterministic_given_key(small_random):
     np.testing.assert_array_equal(a, b)
     c = np.asarray(simulate_walks(g, 2, 12, jax.random.key(10), p=0.5, q=2.0))
     assert (a != c).any()
+
+
+def test_uniform_walks_sort_gather_valid_and_statistical(small_random):
+    """sort_gather walks are valid-edge walks with the same transition
+    statistics (sorting only permutes which independent draw a walker
+    consumes)."""
+    import jax
+    import jax.numpy as jnp
+    from graphtpu.walks.walker import uniform_walks
+
+    g = small_random
+    starts = jnp.asarray(np.arange(64, dtype=np.int32))
+    w = np.asarray(uniform_walks(g, starts, 8, jax.random.key(3),
+                                 sort_gather=True))
+    rp, col = np.asarray(g.row_ptr), np.asarray(g.col)
+    for b in range(64):
+        for t in range(8):
+            u, v = w[b, t], w[b, t + 1]
+            if v < 0:
+                continue
+            assert v in col[rp[u]: rp[u + 1]], (b, t, u, v)
+    # statistical check: per-start next-hop frequencies match degree-
+    # uniform draws (chi^2-ish bound over many walks from one node)
+    starts2 = jnp.zeros((2000,), jnp.int32)
+    w2 = np.asarray(uniform_walks(g, starts2, 1, jax.random.key(5),
+                                  sort_gather=True))
+    nbrs = col[rp[0]: rp[1]]
+    counts = np.array([(w2[:, 1] == n).sum() for n in np.unique(nbrs)])
+    expected = 2000 / len(np.unique(nbrs))
+    assert np.all(np.abs(counts - expected) < 6 * np.sqrt(expected) + 10)

@@ -66,6 +66,10 @@ def main():
         return uniform_walks(gg, starts_rep, length, key)
 
     @maybe_jit
+    def walks_sorted_fn(gg, starts_rep, key):
+        return uniform_walks(gg, starts_rep, length, key, sort_gather=True)
+
+    @maybe_jit
     def items_fn(deg, walks):
         return _reuse_items(deg, walks, step, c, times)
 
@@ -79,13 +83,14 @@ def main():
             srcs, tgts, vals, srcs_sorted, topk, counts=counts
         )
 
-    def run_tiles(gg, tag, key):
+    def run_tiles(gg, tag, key, wf=None):
+        wf = wf or walks_fn
         per = []
         for i in range(n_tiles):
             chunk = np.arange(i * tile, (i + 1) * tile, dtype=np.int32)
             starts = jnp.repeat(jnp.asarray(chunk), wpn)
             t0 = time.time()
-            walks = walks_fn(gg, starts, jax.random.fold_in(key, i))
+            walks = wf(gg, starts, jax.random.fold_in(key, i))
             srcs, tgts, vals, cnt_src = items_fn(gg.deg, walks)
             counts = counts_fn(cnt_src)
             out = topk_fn(srcs, tgts, vals, jnp.asarray(chunk), counts)
@@ -101,6 +106,7 @@ def main():
     faulthandler.dump_traceback_later(600, repeat=True)
     key = jax.random.key(7)
     base = run_tiles(g, "base", key)
+    srt = run_tiles(g, "sorted", key, wf=walks_sorted_fn)
 
     t0 = time.time()
     order = rcm_order(g)
@@ -110,16 +116,23 @@ def main():
           flush=True)
     del g
     rel = run_tiles(g2, "rcm", key)
+    rel_s = run_tiles(g2, "rcm+sorted", key, wf=walks_sorted_fn)
 
     hops = tile * wpn * length
     res = {
         "V": v, "tile": tile, "wpn": wpn, "length": length,
         "base_tile_s": [round(x, 2) for x in base],
+        "sorted_tile_s": [round(x, 2) for x in srt],
         "rcm_tile_s": [round(x, 2) for x in rel],
+        "rcm_sorted_tile_s": [round(x, 2) for x in rel_s],
         "base_steady_s": round(min(base[1:]), 2),
+        "sorted_steady_s": round(min(srt[1:]), 2),
         "rcm_steady_s": round(min(rel[1:]), 2),
+        "rcm_sorted_steady_s": round(min(rel_s[1:]), 2),
         "base_mhops": round(hops / min(base[1:]) / 1e6, 2),
+        "sorted_mhops": round(hops / min(srt[1:]) / 1e6, 2),
         "rcm_mhops": round(hops / min(rel[1:]) / 1e6, 2),
+        "rcm_sorted_mhops": round(hops / min(rel_s[1:]) / 1e6, 2),
         "rcm_locality": round(loc2, 4),
     }
     print(json.dumps(res), flush=True)
