@@ -103,7 +103,13 @@ def main():
 
     @maybe_jit
     def walks_fn(gg, starts_rep, key):
-        return uniform_walks(gg, starts_rep, length, key)
+        # GRAPHTPU_WALK_SORT=1: monotonic-gather frontier (see
+        # walks/walker.py sort_gather; adjudicated by
+        # tools/exp_flagship_relabel.py)
+        return uniform_walks(
+            gg, starts_rep, length, key,
+            sort_gather=bool(os.environ.get("GRAPHTPU_WALK_SORT")),
+        )
 
     @maybe_jit
     def items_fn(deg, walks):
