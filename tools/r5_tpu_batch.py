@@ -306,6 +306,7 @@ def main():
             if not hbm_small:
                 print("[batch] member poisoned beyond use; submitting "
                       "watchdog burn to recycle its worker", flush=True)
+                t0 = time.time()
                 try:
                     # tools/axon_reset.py inline: a minutes-long small-
                     # footprint execution trips the worker watchdog;
@@ -319,7 +320,6 @@ def main():
 
                         return jax.lax.fori_loop(0, n, body, x)
 
-                    t0 = time.time()
                     float(_burn(x, jnp.int32(5_000_000))[0, 0])
                     print(f"[batch] burn finished un-killed "
                           f"({time.time()-t0:.0f}s)", flush=True)
