@@ -73,9 +73,11 @@ def main():
             print(f"[orch] member {port}: rc={rc} "
                   f"({time.time()-t0:.0f}s)", flush=True)
         if want - done_parts():
-            print("[orch] cycle complete; sleeping 600s for pool recovery",
+            # canary attempts ARE clients: probing too often resets
+            # the 30-60 min member recovery clocks (CLAUDE.md)
+            print("[orch] cycle complete; sleeping 2400s for pool recovery",
                   flush=True)
-            time.sleep(600)
+            time.sleep(2400)
     print(f"[orch] budget expired; missing {sorted(want - done_parts())}",
           flush=True)
     return 1
