@@ -194,25 +194,35 @@ def part_walkloc():
     b, l = 65536, 40
     starts = jnp.asarray(np.random.default_rng(1).choice(nodes, size=b))
     walk_fn = jax.jit(lambda gg, s, k: uniform_walks(gg, s, l, k))
+    walk_sorted = jax.jit(
+        lambda gg, s, k: uniform_walks(gg, s, l, k, sort_gather=True)
+    )
 
-    def timed(gg, ss):
-        jax.block_until_ready(walk_fn(gg, ss, key))
+    def timed(gg, ss, fn=None):
+        fn = fn or walk_fn
+        jax.block_until_ready(fn(gg, ss, key))
         best = 1e9
         for _ in range(4):
             t0 = time.time()
-            jax.block_until_ready(walk_fn(gg, ss, key))
+            jax.block_until_ready(fn(gg, ss, key))
             best = min(best, time.time() - t0)
         return best
 
     base = timed(g, starts)
+    base_sorted = timed(g, starts, walk_sorted)
     g2, inv = relabel_graph(g, rcm_order(g))
     starts2 = jnp.asarray(np.asarray(inv)[np.asarray(starts)])
     rel = timed(g2, starts2)
+    rel_sorted = timed(g2, starts2, walk_sorted)
     save("walk_locality_arxiv", {
         "base_ms": round(base * 1e3, 1),
+        "sorted_ms": round(base_sorted * 1e3, 1),
         "rcm_ms": round(rel * 1e3, 1),
+        "rcm_sorted_ms": round(rel_sorted * 1e3, 1),
         "base_mhops": round(b * l / base / 1e6, 1),
+        "sorted_mhops": round(b * l / base_sorted / 1e6, 1),
         "rcm_mhops": round(b * l / rel / 1e6, 1),
+        "rcm_sorted_mhops": round(b * l / rel_sorted / 1e6, 1),
         "locality_before": round(locality_score(g), 4),
         "locality_after": round(locality_score(g2), 4),
     })
