@@ -360,6 +360,12 @@ def summa_simrank_spmm(
     ``exact_simrank_spmm`` (diag pinned during iteration, zeroed after;
     ``SimRank.java:27-30,62-65``).  Returns the [V, V] result (blocks
     stay device-resident under a ``P("pc","pr")`` sharding)."""
+    from graphtpu.core.graph import DiGraph
+
+    if isinstance(g, DiGraph):
+        # in-neighbour rows, as in exact_simrank (DGraph semantics:
+        # sim flows along incoming edges, structures/DGraph.java)
+        g = g.in_
     r, c = mesh.devices.shape
     v_real = g.n_nodes
     plan, v, init, run_n, zero_diag = make_summa_iter(

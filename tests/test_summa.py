@@ -100,3 +100,17 @@ def test_summa_plan_is_column_restricted(small_random):
     assert lvl0.max() < kc
     # and the plan rows end at rows_per for every block
     assert np.asarray(plan.levels[-1]).shape[2] >= v // r
+
+
+def test_summa_directed_matches_single_device():
+    """DiGraph -> in-neighbour rows, matching exact_simrank's DGraph
+    semantics (structures/DGraph.java)."""
+    rng = np.random.default_rng(5)
+    edges = rng.integers(0, 32, size=(200, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    g = graphtpu.build_graph(edges, n_nodes=32, directed=True)
+    cfg = SimRankConfig(iterations=3)
+    want = np.asarray(exact_simrank(g, cfg))
+    mesh = make_2d_mesh(2, 2)
+    got = np.asarray(summa_simrank_spmm(g, mesh, cfg))
+    np.testing.assert_allclose(got, want, atol=5e-5)
