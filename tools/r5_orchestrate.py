@@ -24,6 +24,7 @@ PART_KEYS = {
     "transpose": ["transpose_ms_v38912"],
     "walkloc": ["walk_locality_arxiv"],
     "segsum": ["segsum_blogshape"],
+    "flagship": ["flagship_relabel"],
 }
 
 

@@ -228,6 +228,23 @@ def part_walkloc():
     })
 
 
+def part_flagship_relabel():
+    """VERDICT r4 #3 at full scale: 5 base + 5 sorted + 5 RCM (+5
+    RCM+sorted) flagship tiles on the 10M graph.  In-process (one
+    process per member recovery cycle)."""
+    import tools.exp_flagship_relabel as fr
+
+    old_argv = sys.argv
+    sys.argv = ["exp_flagship_relabel.py"]
+    try:
+        fr.main()
+    finally:
+        sys.argv = old_argv
+    res = json.load(open(os.path.join(
+        os.path.dirname(OUT), "flagship_relabel_r5.json")))
+    save("flagship_relabel", res)
+
+
 def part_segsum():
     """segsum_pallas vs the production sort+cumsum segment_rows_sum at
     the blog shape [205k, 128] -> [10313, 128]."""
@@ -353,10 +370,11 @@ def main():
         ("transpose", lambda: part_transpose(hbm_full)),
         ("walkloc", part_walkloc),
         ("segsum", part_segsum),
+        ("flagship", part_flagship_relabel),
     ):
         if only and name not in only:
             continue
-        if name in ("fast16", "transpose") and not hbm_full:
+        if name in ("fast16", "transpose", "flagship") and not hbm_full:
             print(f"[batch] {name} skipped: needs the full HBM tier",
                   flush=True)
             continue
