@@ -20,6 +20,7 @@ OUT = os.path.join(os.path.dirname(HERE), "results", "r5_batch.json")
 
 PART_KEYS = {
     "f1": ["blogcatalog_f1"],
+    "spmm": ["spmm_composed"],
     "fast16": ["fast16_vrange_demo"],
     "transpose": ["transpose_ms_v38912"],
     "walkloc": ["walk_locality_arxiv"],

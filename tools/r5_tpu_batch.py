@@ -81,6 +81,23 @@ def part_f1():
     })
 
 
+def part_spmm(hbm_full):
+    """The composed streaming-SpMM numbers (VERDICT r4 #1) via
+    bench.spmm_metrics — arxiv kahan/fast/fast16 + blog + seg2 suites,
+    genuinely-warm second calls."""
+    import graphtpu
+    import bench as benchmod
+
+    blog_g = (graphtpu.read_edgelist_graph(BLOG_EDGES.replace(
+        "blog.txt", "blog.txt"), n_nodes=10496)
+        if os.path.exists(BLOG_EDGES) else None)
+    out = benchmod.spmm_metrics(blog_g)
+    if out:
+        save("spmm_composed", out)
+    else:
+        print("[batch] spmm suite produced nothing", flush=True)
+
+
 def part_fast16(hbm_full):
     import jax
     import jax.numpy as jnp
@@ -366,6 +383,7 @@ def main():
     t00 = time.time()
     for name, fn in (
         ("f1", part_f1),
+        ("spmm", lambda: part_spmm(hbm_full)),
         ("fast16", lambda: part_fast16(hbm_full)),
         ("transpose", lambda: part_transpose(hbm_full)),
         ("walkloc", part_walkloc),
