@@ -88,9 +88,10 @@ def part_spmm(hbm_full):
     import graphtpu
     import bench as benchmod
 
-    blog_g = (graphtpu.read_edgelist_graph(BLOG_EDGES.replace(
-        "blog.txt", "blog.txt"), n_nodes=10496)
-        if os.path.exists(BLOG_EDGES) else None)
+    blog_g = (
+        graphtpu.read_edgelist_graph(BLOG_EDGES, n_nodes=10496)
+        if os.path.exists(BLOG_EDGES) else None
+    )
     out = benchmod.spmm_metrics(blog_g)
     if out:
         save("spmm_composed", out)
