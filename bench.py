@@ -182,8 +182,28 @@ def main():
     # move W to the device ONCE (the 440MB dense operand dwarfs everything
     # when re-uploaded per call through the axon tunnel)
     t0 = time.time()
-    w = row_normalized(dense_adjacency(g))
-    w.block_until_ready()
+    try:
+        w = row_normalized(dense_adjacency(g))
+        w.block_until_ready()
+    except Exception as e:
+        # leak-poisoned member: cannot even hold the headline operand.
+        # Submit the watchdog burn so THIS member's worker recycles
+        # (freeing its leaked HBM), then fail -> orchestrate moves on.
+        log(f"headline operand failed ({e!r}); submitting recycle burn")
+        try:
+            x = jnp.ones((2048, 2048), jnp.bfloat16)
+
+            @jax.jit
+            def _burn(x, n):
+                return jax.lax.fori_loop(
+                    0, n, lambda _, y: jnp.tanh(y @ y) * 0.999, x
+                )
+
+            float(_burn(x, jnp.int32(5_000_000))[0, 0])
+            log("burn finished un-killed")
+        except Exception as e2:
+            log(f"burn died ({type(e2).__name__}) — worker recycling")
+        sys.exit(1)
     log(f"W build+transfer: {time.time() - t0:.1f}s")
 
     iters = 10
