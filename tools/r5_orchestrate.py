@@ -43,6 +43,12 @@ def main():
     want = set(sys.argv[2:]) or set(PART_KEYS)
     deadline = time.time() + budget
     members = ["8092", "8102", "8112", "8082", None]
+    # a canary-timeout client DIES on the member and resets its 30-60
+    # min recovery clock — touching a dead member too often keeps it
+    # dead forever.  After a canary failure (rc=3 within ~200s), leave
+    # that member alone for a full recovery window.
+    cooldown_until = {m: 0.0 for m in members}
+    COOLDOWN_S = 4500.0
     cycle = 0
     while time.time() < deadline:
         missing = want - done_parts()
@@ -55,6 +61,11 @@ def main():
         for port in members:
             if not (want - done_parts()):
                 return 0
+            if time.time() < cooldown_until[port]:
+                print(f"[orch] member {port}: cooling down "
+                      f"({cooldown_until[port]-time.time():.0f}s left)",
+                      flush=True)
+                continue
             env = dict(os.environ)
             if port is not None:
                 env["GRAPHTPU_AXON_MEMBER"] = port
@@ -72,8 +83,13 @@ def main():
                 rc = cp.returncode
             except subprocess.TimeoutExpired:
                 rc = "timeout"
-            print(f"[orch] member {port}: rc={rc} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
+            dt = time.time() - t0
+            if rc == 3 and dt < 260:
+                # canary death: this touch itself reset the member's
+                # recovery clock — back off a full window
+                cooldown_until[port] = time.time() + COOLDOWN_S
+            print(f"[orch] member {port}: rc={rc} ({dt:.0f}s)",
+                  flush=True)
         if want - done_parts():
             # canary attempts ARE clients: probing too often resets
             # the 30-60 min member recovery clocks (CLAUDE.md)
