@@ -88,6 +88,10 @@ def main():
                 # canary death: this touch itself reset the member's
                 # recovery clock — back off a full window
                 cooldown_until[port] = time.time() + COOLDOWN_S
+            elif rc == 5:
+                # poisoned member burned: its worker may restart clean
+                # in ~1 min — retry soon
+                cooldown_until[port] = time.time() + 300.0
             print(f"[orch] member {port}: rc={rc} ({dt:.0f}s)",
                   flush=True)
         if want - done_parts():

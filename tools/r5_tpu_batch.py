@@ -372,6 +372,10 @@ def main():
                     print(f"[batch] burn died after {time.time()-t0:.0f}s"
                           f" ({type(e).__name__}) — worker recycling",
                           flush=True)
+                    # exit 5: the burn may have recycled this worker —
+                    # callers should retry THIS member after ~5 min,
+                    # not a full recovery window
+                    os._exit(5)
                 os._exit(3)
     else:
         hbm_full = True
