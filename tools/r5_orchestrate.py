@@ -96,10 +96,14 @@ def main():
                   flush=True)
         if want - done_parts():
             # canary attempts ARE clients: probing too often resets
-            # the 30-60 min member recovery clocks (CLAUDE.md)
-            print("[orch] cycle complete; sleeping 2400s for pool recovery",
-                  flush=True)
-            time.sleep(2400)
+            # the 30-60 min member recovery clocks (CLAUDE.md).  Sleep
+            # until the earliest cooldown expires (bounded).
+            now = time.time()
+            next_up = min(cooldown_until.values())
+            wait = min(2400.0, max(180.0, next_up - now))
+            print(f"[orch] cycle complete; sleeping {wait:.0f}s for pool "
+                  "recovery", flush=True)
+            time.sleep(wait)
     print(f"[orch] budget expired; missing {sorted(want - done_parts())}",
           flush=True)
     return 1
