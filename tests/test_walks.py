@@ -228,3 +228,35 @@ def test_uniform_walks_sort_gather_valid_and_statistical(small_random):
     counts = np.array([(w2[:, 1] == n).sum() for n in np.unique(nbrs)])
     expected = 2000 / len(np.unique(nbrs))
     assert np.all(np.abs(counts - expected) < 6 * np.sqrt(expected) + 10)
+
+
+def test_uniform_walks_sort_gather_weighted(small_random):
+    import jax
+    import jax.numpy as jnp
+    from graphtpu.walks.walker import uniform_walks
+
+    rng = np.random.default_rng(2)
+    rp = np.asarray(small_random.row_ptr)
+    g = graphtpu.build_graph(
+        np.array([[u, v] for u in range(64)
+                  for v in np.asarray(small_random.col)[rp[u]:rp[u+1]]]),
+        weights=None, n_nodes=64,
+    )
+    # attach random weights
+    import dataclasses
+    g = dataclasses.replace(
+        g, weight=jnp.asarray(
+            rng.random(int(np.asarray(g.n_edges))).astype(np.float32) + 0.1
+        )
+    )
+    w = np.asarray(uniform_walks(
+        g, jnp.arange(32, dtype=jnp.int32), 5, jax.random.key(1),
+        weighted=True, sort_gather=True,
+    ))
+    rp2, col2 = np.asarray(g.row_ptr), np.asarray(g.col)
+    for b in range(32):
+        for t in range(5):
+            u, v = w[b, t], w[b, t + 1]
+            if v < 0:
+                continue
+            assert v in col2[rp2[u]: rp2[u + 1]], (b, t, u, v)
