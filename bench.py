@@ -566,6 +566,25 @@ def spmm_only():
     else:
         g = None
     out = spmm_metrics(g)
+    if not out and jax.default_backend() != "cpu":
+        # nothing measured: this member is likely leak-poisoned — burn
+        # it so its worker recycles before the next retry lands here
+        import jax.numpy as jnp
+
+        log("spmm_only: nothing measured; submitting recycle burn")
+        try:
+            x = jnp.ones((2048, 2048), jnp.bfloat16)
+
+            @jax.jit
+            def _burn(x, n):
+                return jax.lax.fori_loop(
+                    0, n, lambda _, y: jnp.tanh(y @ y) * 0.999, x
+                )
+
+            float(_burn(x, jnp.int32(5_000_000))[0, 0])
+            log("burn finished un-killed")
+        except Exception as e:
+            log(f"burn died ({type(e).__name__}) — worker recycling")
     print(json.dumps(out), flush=True)
 
 
