@@ -98,6 +98,7 @@ def simulate_walks(
     weighted: bool = False,
     second_order_mode: str = "rejection",
     max_trials: int | None = None,
+    sort_gather: bool = False,
 ) -> jax.Array:
     """The reference ``simulate_walks`` (node2vec.py:41-59): ``num_walks``
     shuffled passes over all nodes, ``walk_length`` *nodes* per walk
@@ -108,7 +109,10 @@ def simulate_walks(
     k_shuffle, k_walk = jax.random.split(key)
     starts = walk_starts(g, num_walks, k_shuffle)
     if p == 1.0 and q == 1.0:
-        return uniform_walks(g, starts, walk_length - 1, k_walk, weighted=weighted)
+        return uniform_walks(
+            g, starts, walk_length - 1, k_walk, weighted=weighted,
+            sort_gather=sort_gather,
+        )
     return node2vec_walks(
         g,
         starts,
