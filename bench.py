@@ -190,19 +190,9 @@ def main():
         # Submit the watchdog burn so THIS member's worker recycles
         # (freeing its leaked HBM), then fail -> orchestrate moves on.
         log(f"headline operand failed ({e!r}); submitting recycle burn")
-        try:
-            x = jnp.ones((2048, 2048), jnp.bfloat16)
+        from graphtpu.axon_pin import submit_burn
 
-            @jax.jit
-            def _burn(x, n):
-                return jax.lax.fori_loop(
-                    0, n, lambda _, y: jnp.tanh(y @ y) * 0.999, x
-                )
-
-            float(_burn(x, jnp.int32(5_000_000))[0, 0])
-            log("burn finished un-killed")
-        except Exception as e2:
-            log(f"burn died ({type(e2).__name__}) — worker recycling")
+        submit_burn()
         sys.exit(1)
     log(f"W build+transfer: {time.time() - t0:.1f}s")
 
@@ -572,19 +562,9 @@ def spmm_only():
         import jax.numpy as jnp
 
         log("spmm_only: nothing measured; submitting recycle burn")
-        try:
-            x = jnp.ones((2048, 2048), jnp.bfloat16)
+        from graphtpu.axon_pin import submit_burn
 
-            @jax.jit
-            def _burn(x, n):
-                return jax.lax.fori_loop(
-                    0, n, lambda _, y: jnp.tanh(y @ y) * 0.999, x
-                )
-
-            float(_burn(x, jnp.int32(5_000_000))[0, 0])
-            log("burn finished un-killed")
-        except Exception as e:
-            log(f"burn died ({type(e).__name__}) — worker recycling")
+        submit_burn()
     print(json.dumps(out), flush=True)
 
 

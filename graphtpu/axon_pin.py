@@ -62,6 +62,48 @@ def canary(timeout_s: float = 180.0, exit_code: int = 3) -> None:
     print("[graphtpu.axon_pin] canary: member healthy", file=sys.stderr)
 
 
+def submit_burn(outer: int = 50_000, inner: int = 50_000) -> bool:
+    """Force this member's worker to recycle via its own execution
+    watchdog: submit ONE minutes-long device execution with a
+    canary-sized operand (256² bf16 = 128 KB — must fit even a
+    100%-leaked pool).  The watchdog kill restarts the worker, freeing
+    every buffer this member leaked (round-5 pool model, CLAUDE.md).
+
+    Returns True if the execution errored (worker likely recycling),
+    False if it finished un-killed (raise the loop counts)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.bfloat16)
+
+    @jax.jit
+    def burn(x, n_out, n_in):
+        def outer_body(_, y):
+            return jax.lax.fori_loop(
+                0, n_in, lambda _, z: jnp.tanh(z @ z) * 0.999, y
+            )
+
+        return jax.lax.fori_loop(0, n_out, outer_body, x)
+
+    t0 = time.time()
+    try:
+        float(burn(x, jnp.int32(outer), jnp.int32(inner))[0, 0])
+        print(
+            f"[graphtpu.axon_pin] burn finished un-killed "
+            f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True,
+        )
+        return False
+    except Exception as e:
+        print(
+            f"[graphtpu.axon_pin] burn died after {time.time()-t0:.0f}s "
+            f"({type(e).__name__}) — worker likely recycling",
+            file=sys.stderr, flush=True,
+        )
+        return True
+
+
 def pin_pool_member() -> None:
     member = os.environ.get("GRAPHTPU_AXON_MEMBER")
     if not member or os.environ.get("PALLAS_AXON_POOL_IPS"):

@@ -36,34 +36,11 @@ def main():
     from graphtpu.axon_pin import canary
 
     canary(timeout_s=180.0, exit_code=3)
-    # SMALL footprint (one 2048^2 bf16 operand = 8 MB — must fit even a
-    # fully leak-poisoned member) but LONG device time: 2048^3 bf16
-    # ~ 0.1 ms/iter on a v5e MXU; 5M iterations ~ minutes in ONE
-    # execution — past the worker watchdog, which kills + restarts the
-    # worker and frees every buffer this member has leaked.
-    n_loop = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
-    x = jnp.ones((2048, 2048), jnp.bfloat16)
+    from graphtpu.axon_pin import submit_burn
 
-    @jax.jit
-    def burn(x, n):
-        def body(_, y):
-            return jnp.tanh(y @ y) * 0.999
-
-        return jax.lax.fori_loop(0, n, body, x)
-
-    print(f"[reset] submitting {n_loop}-loop burn...", flush=True)
-    t0 = time.time()
-    try:
-        y = burn(x, jnp.int32(n_loop))
-        # the readback is what actually blocks on the execution
-        float(y[0, 0])
-        print(f"[reset] burn FINISHED in {time.time()-t0:.0f}s — "
-              "watchdog did not fire; increase n_loop", flush=True)
-        return 4
-    except Exception as e:
-        print(f"[reset] execution died after {time.time()-t0:.0f}s: "
-              f"{type(e).__name__} — worker likely recycling", flush=True)
-        return 0
+    outer = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    print(f"[reset] submitting {outer}x50000 burn...", flush=True)
+    return 0 if submit_burn(outer=outer) else 4
 
 
 if __name__ == "__main__":

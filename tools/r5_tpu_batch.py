@@ -351,32 +351,13 @@ def main():
             if not hbm_small:
                 print("[batch] member poisoned beyond use; submitting "
                       "watchdog burn to recycle its worker", flush=True)
-                t0 = time.time()
-                try:
-                    # tools/axon_reset.py inline: a minutes-long small-
-                    # footprint execution trips the worker watchdog;
-                    # the restart frees this member's leaked HBM
-                    x = jnp.ones((2048, 2048), jnp.bfloat16)
+                from graphtpu.axon_pin import submit_burn
 
-                    @jax.jit
-                    def _burn(x, n):
-                        def body(_, y):
-                            return jnp.tanh(y @ y) * 0.999
-
-                        return jax.lax.fori_loop(0, n, body, x)
-
-                    float(_burn(x, jnp.int32(5_000_000))[0, 0])
-                    print(f"[batch] burn finished un-killed "
-                          f"({time.time()-t0:.0f}s)", flush=True)
-                except Exception as e:
-                    print(f"[batch] burn died after {time.time()-t0:.0f}s"
-                          f" ({type(e).__name__}) — worker recycling",
-                          flush=True)
-                    # exit 5: the burn may have recycled this worker —
-                    # callers should retry THIS member after ~5 min,
-                    # not a full recovery window
-                    os._exit(5)
-                os._exit(3)
+                died = submit_burn()
+                # exit 5: the burn may have recycled this worker —
+                # callers should retry THIS member after ~5 min, not a
+                # full recovery window
+                os._exit(5 if died else 3)
     else:
         hbm_full = True
 
