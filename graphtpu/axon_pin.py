@@ -62,7 +62,7 @@ def canary(timeout_s: float = 180.0, exit_code: int = 3) -> None:
     print("[graphtpu.axon_pin] canary: member healthy", file=sys.stderr)
 
 
-def submit_burn(outer: int = 50_000, inner: int = 50_000) -> bool:
+def submit_burn(outer: int = 50_000, inner: int = 50_000, x=None) -> bool:
     """Force this member's worker to recycle via its own execution
     watchdog: submit ONE minutes-long device execution with a
     canary-sized operand (256² bf16 = 128 KB — must fit even a
@@ -70,13 +70,27 @@ def submit_burn(outer: int = 50_000, inner: int = 50_000) -> bool:
     every buffer this member leaked (round-5 pool model, CLAUDE.md).
 
     Returns True if the execution errored (worker likely recycling),
-    False if it finished un-killed (raise the loop counts)."""
+    False if it finished un-killed (raise the loop counts).
+
+    ``x``: pass a PRE-ALLOCATED (256, 256) bf16 operand reserved right
+    after the canary — after a failed multi-GB probe even 128 KB
+    allocations die on a saturated member, so the burn operand must be
+    reserved before any probe runs (round-5 observation)."""
     import time
 
     import jax
     import jax.numpy as jnp
 
-    x = jnp.ones((256, 256), jnp.bfloat16)
+    try:
+        if x is None:
+            x = jnp.ones((256, 256), jnp.bfloat16)
+    except Exception as e:
+        print(
+            f"[graphtpu.axon_pin] burn operand allocation failed "
+            f"({type(e).__name__}); cannot burn", file=sys.stderr,
+            flush=True,
+        )
+        return False
 
     @jax.jit
     def burn(x, n_out, n_in):

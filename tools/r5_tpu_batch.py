@@ -317,6 +317,15 @@ def main():
         canary(timeout_s=180.0)
         import jax.numpy as jnp
 
+        # reserve the recycle-burn operand BEFORE any probe: after a
+        # failed multi-GB allocation even 128 KB dies on a saturated
+        # member (round-5 observation)
+        try:
+            burn_x = jnp.ones((256, 256), jnp.bfloat16)
+            jax.block_until_ready(burn_x)
+        except Exception:
+            burn_x = None
+
         def _fits(gib_each):
             try:
                 n = int(gib_each * 2**30 / 4 / (1024 * 1024))
@@ -353,7 +362,7 @@ def main():
                       "watchdog burn to recycle its worker", flush=True)
                 from graphtpu.axon_pin import submit_burn
 
-                died = submit_burn()
+                died = submit_burn(x=burn_x)
                 # exit 5: the burn may have recycled this worker —
                 # callers should retry THIS member after ~5 min, not a
                 # full recovery window
