@@ -112,8 +112,8 @@ def submit_burn(outer: int = 50_000, inner: int = 50_000, x=None) -> bool:
     except Exception as e:
         print(
             f"[graphtpu.axon_pin] burn died after {time.time()-t0:.0f}s "
-            f"({type(e).__name__}) — worker likely recycling",
-            file=sys.stderr, flush=True,
+            f"({type(e).__name__}: {str(e)[:200]}) — worker likely "
+            "recycling", file=sys.stderr, flush=True,
         )
         return True
 

@@ -1,0 +1,68 @@
+"""Last-resort worker recycle: crash the worker by killing a client
+MID-EXECUTION.
+
+When a member is so saturated that neither probes (HBM full) nor the
+watchdog burn (compile service dead) can run, the one remaining in-band
+lever is the failure mode CLAUDE.md warns about: "Never kill TPU client
+processes mid-execution ... the worker can crash and needs ~1 min to
+recover".  A crashed worker RESTARTS — and a restarted worker frees
+every leaked buffer.  This tool spawns a child that hammers the (cached,
+tiny) canary matmul in a loop and SIGKILLs that exact PID mid-stream.
+
+Usage:
+  PALLAS_AXON_POOL_IPS= GRAPHTPU_AXON_MEMBER=8112 python tools/axon_crash.py
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHILD = """
+import sys, time
+sys.path.insert(0, %r)
+import graphtpu  # registers the pinned member
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256), jnp.bfloat16)
+# warm the (cached) executable, then hammer without readbacks so the
+# kill lands mid-execution with work in flight
+y = x @ x
+float(y[0, 0])
+print("child: warm, hammering", flush=True)
+while True:
+    for _ in range(1000):
+        y = (y @ y) * 0.5 + x
+    y.block_until_ready()
+"""
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = subprocess.Popen(
+        [sys.executable, "-c", CHILD % repo],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    # wait for the child to be mid-hammer
+    t0 = time.time()
+    line = ""
+    while time.time() - t0 < 300:
+        line = child.stdout.readline()
+        if "hammering" in line:
+            break
+        if child.poll() is not None:
+            print(f"[crash] child exited early rc={child.returncode}",
+                  flush=True)
+            return 3
+    time.sleep(3.0)  # in-flight executions queued
+    child.send_signal(signal.SIGKILL)  # exact PID we spawned
+    child.wait()
+    print("[crash] child SIGKILLed mid-execution — worker should crash "
+          "and restart (~1 min)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
