@@ -28,13 +28,16 @@ import graphtpu  # registers the pinned member
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256), jnp.bfloat16)
 # warm the (cached) executable, then hammer without readbacks so the
-# kill lands mid-execution with work in flight
+# kill lands mid-execution with work in flight.  ONLY the canary's
+# exact op shape is used: the member's compile service is dead, so
+# every op must hit the executable cache (values saturating to inf in
+# bf16 is harmless).
 y = x @ x
 float(y[0, 0])
 print("child: warm, hammering", flush=True)
 while True:
     for _ in range(1000):
-        y = (y @ y) * 0.5 + x
+        y = y @ y
     y.block_until_ready()
 """
 
