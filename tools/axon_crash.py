@@ -46,20 +46,18 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     child = subprocess.Popen(
         [sys.executable, "-c", CHILD % repo],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        stdout=open("/tmp/axon_crash_child.log", "w"),
+        stderr=subprocess.STDOUT, text=True,
     )
-    # wait for the child to be mid-hammer
-    t0 = time.time()
-    line = ""
-    while time.time() - t0 < 300:
-        line = child.stdout.readline()
-        if "hammering" in line:
-            break
-        if child.poll() is not None:
-            print(f"[crash] child exited early rc={child.returncode}",
-                  flush=True)
-            return 3
-    time.sleep(3.0)  # in-flight executions queued
+    # fixed grace: healthy first-op latency is ~55s; by 90s the child is
+    # either hammering (kill lands mid-execution -> worker crash) or
+    # stuck claiming (kill wedges -> member recycles the slow way).
+    # Blocking on the child's stdout can hang forever on a dead member.
+    time.sleep(90.0)
+    if child.poll() is not None:
+        print(f"[crash] child exited early rc={child.returncode}",
+              flush=True)
+        return 3
     child.send_signal(signal.SIGKILL)  # exact PID we spawned
     child.wait()
     print("[crash] child SIGKILLed mid-execution — worker should crash "
