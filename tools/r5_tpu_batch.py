@@ -353,10 +353,13 @@ def main():
             print("[batch] probe skipped (GRAPHTPU_BATCH_NO_PROBE)",
                   flush=True)
         else:
-            hbm_full = _fits(5.7)
-            hbm_small = hbm_full or _fits(0.15)  # f1/segsum ~100 MB
-            print(f"[batch] hbm tiers: full={hbm_full} small={hbm_small}",
-                  flush=True)
+            # probe SMALL first: one failed multi-GB allocation can
+            # break every later allocation in this process (round-5),
+            # so the order must be small tier -> [small parts] -> full
+            # tier -> [heavy parts]; the full probe is DEFERRED to
+            # after the small parts run (see main loop below)
+            hbm_small = _fits(0.15)  # f1/segsum ~100 MB
+            print(f"[batch] hbm small tier: {hbm_small}", flush=True)
             if not hbm_small:
                 print("[batch] member poisoned beyond use; submitting "
                       "watchdog burn to recycle its worker", flush=True)
@@ -376,18 +379,32 @@ def main():
 
     only = set(sys.argv[1:])
     t00 = time.time()
+    hbm_full = None  # resolved lazily AFTER the small parts
+
+    def full_tier():
+        nonlocal hbm_full
+        if hbm_full is None:
+            if jax.default_backend() == "cpu":
+                hbm_full = True
+            elif os.environ.get("GRAPHTPU_BATCH_NO_PROBE"):
+                hbm_full = False
+            else:
+                hbm_full = _fits(5.7)
+            print(f"[batch] hbm full tier: {hbm_full}", flush=True)
+        return hbm_full
+
     for name, fn in (
         ("f1", part_f1),
-        ("spmm", lambda: part_spmm(hbm_full)),
-        ("fast16", lambda: part_fast16(hbm_full)),
-        ("transpose", lambda: part_transpose(hbm_full)),
-        ("walkloc", part_walkloc),
         ("segsum", part_segsum),
+        ("walkloc", part_walkloc),
+        ("spmm", lambda: part_spmm(full_tier())),
+        ("fast16", lambda: part_fast16(full_tier())),
+        ("transpose", lambda: part_transpose(full_tier())),
         ("flagship", part_flagship_relabel),
     ):
         if only and name not in only:
             continue
-        if name in ("fast16", "transpose", "flagship") and not hbm_full:
+        if name in ("fast16", "transpose", "flagship") and not full_tier():
             print(f"[batch] {name} skipped: needs the full HBM tier",
                   flush=True)
             continue
