@@ -62,6 +62,33 @@ def wire_stats() -> dict:
     return dict(_wire_stats)
 
 
+def _bucket_route(owner: jax.Array, n_dev: int, capacity: int):
+    """Shared routing computation for one exchange: the stable owner
+    sort, per-owner ranks, and validity — computed ONCE and applied to
+    every payload (the node2vec hop ships ~20 payloads per exchange;
+    re-sorting per payload cost 20 identical argsorts)."""
+    n = owner.shape[0]
+    owner_c = jnp.where(owner < 0, n_dev, owner)
+    order = jnp.argsort(owner_c)  # stable: preserves arrival order
+    sorted_owner = owner_c[order]
+    idx = jnp.arange(n)
+    start = jnp.searchsorted(sorted_owner, jnp.arange(n_dev + 1))
+    rank = idx - start[jnp.minimum(sorted_owner, n_dev)]
+    ok = (sorted_owner < n_dev) & (rank < capacity)
+    rows = jnp.where(ok, sorted_owner, n_dev)
+    cols = jnp.where(ok, rank, 0)
+    return order, rows, cols
+
+
+def _pack_buckets_routed(
+    payload: jax.Array, route, n_dev: int, capacity: int, fill
+) -> jax.Array:
+    order, rows, cols = route
+    buckets = jnp.full((n_dev, capacity), fill, payload.dtype)
+    # invalid entries scatter out of bounds and are dropped
+    return buckets.at[rows, cols].set(payload[order], mode="drop")
+
+
 def _pack_buckets(
     payload: jax.Array, owner: jax.Array, n_dev: int, capacity: int, fill
 ) -> jax.Array:
@@ -69,22 +96,10 @@ def _pack_buckets(
 
     Owner < 0 marks invalid entries (dropped).
     """
-    n = owner.shape[0]
-    owner_c = jnp.where(owner < 0, n_dev, owner)
-    order = jnp.argsort(owner_c)  # stable: preserves arrival order
-    sorted_owner = owner_c[order]
-    sorted_pay = payload[order]
-    # rank of each element within its owner group
-    idx = jnp.arange(n)
-    start = jnp.searchsorted(sorted_owner, jnp.arange(n_dev + 1))
-    rank = idx - start[jnp.minimum(sorted_owner, n_dev)]
-    buckets = jnp.full((n_dev, capacity), fill, payload.dtype)
-    ok = (sorted_owner < n_dev) & (rank < capacity)
-    # invalid entries scatter out of bounds and are dropped
-    buckets = buckets.at[
-        jnp.where(ok, sorted_owner, n_dev), jnp.where(ok, rank, 0)
-    ].set(sorted_pay, mode="drop")
-    return buckets
+    return _pack_buckets_routed(
+        payload, _bucket_route(owner, n_dev, capacity), n_dev, capacity,
+        fill,
+    )
 
 
 def exchange_by_owner(
@@ -115,20 +130,38 @@ def exchange_by_owner(
     if wire_dtypes is None:
         wire_dtypes = (None,) * len(payloads)
     assert len(wire_dtypes) == len(payloads)
-    outs = []
-    for pay, wd in zip(payloads, wire_dtypes):
+    route = _bucket_route(owner, n_dev, capacity)
+    order, rows, cols = route
+
+    # group payloads by WIRE dtype and ship each group as ONE stacked
+    # all_to_all — the node2vec hop carries ~20 same-dtype probe columns,
+    # and per-payload collectives cost ~20 launches where 2 suffice
+    groups: dict = {}
+    for i, (pay, wd) in enumerate(zip(payloads, wire_dtypes)):
         orig = pay.dtype
-        if wd is not None and jnp.dtype(wd) != orig:
-            pay = pay.astype(wd)
-        buckets = _pack_buckets(pay, owner, n_dev, capacity, fill)
+        wire = jnp.dtype(wd) if wd is not None else orig
+        groups.setdefault((wire, orig), []).append(i)
+
+    outs: list = [None] * len(payloads)
+    for (wire, orig), idxs in groups.items():
+        stacked = jnp.stack(
+            [payloads[i].astype(wire) for i in idxs], axis=-1
+        )                                        # [N, k]
+        k = len(idxs)
+        buckets = jnp.full((n_dev, capacity, k), fill, wire)
+        buckets = buckets.at[rows, cols].set(
+            stacked[order], mode="drop"
+        )
         _wire_stats["bytes"] += buckets.size * buckets.dtype.itemsize
         _wire_stats["bytes_unpacked"] += buckets.size * jnp.dtype(
             orig
         ).itemsize
         recv = jax.lax.all_to_all(
             buckets, axis_name, split_axis=0, concat_axis=0, tiled=False
-        )
-        outs.append(recv.reshape(-1).astype(orig))
+        )                                        # [n_dev, capacity, k]
+        recv = recv.reshape(-1, k).astype(orig)
+        for j, i in enumerate(idxs):
+            outs[i] = recv[:, j]
     _wire_stats["exchanges"] += 1
     valid = outs[0] != fill if outs else None
     return tuple(outs), valid
