@@ -153,10 +153,18 @@ def main():
     from graphtpu.simrank.exact import _simrank_iterate
 
     log(f"devices: {jax.devices()}")
+    _burn_x = None
     if jax.default_backend() != "cpu":
         from graphtpu.axon_pin import canary
 
         canary(timeout_s=180.0, exit_code=CANARY_EXIT)
+        try:
+            # reserve the recycle-burn operand before any big alloc
+            # (after a failed multi-GB allocation even 128 KB dies)
+            _burn_x = jnp.ones((256, 256), jnp.bfloat16)
+            jax.block_until_ready(_burn_x)
+        except Exception:
+            _burn_x = None
         try:  # HBM diagnostics: poisoned members show bytes_in_use high
             ms = jax.local_devices()[0].memory_stats() or {}
             log(
@@ -192,7 +200,7 @@ def main():
         log(f"headline operand failed ({e!r}); submitting recycle burn")
         from graphtpu.axon_pin import submit_burn
 
-        submit_burn()
+        submit_burn(x=_burn_x)
         sys.exit(1)
     log(f"W build+transfer: {time.time() - t0:.1f}s")
 
