@@ -180,6 +180,7 @@ def node2vec_walks(
     mode: str = "rejection",
     max_trials: int | None = None,
     eset: EdgeSet | None = None,
+    sort_gather: bool = False,
 ) -> jax.Array:
     """int32[B, num_steps+1]; first hop is first-order (alias_nodes
     semantics, ``node2vec.py:28-29``), later hops second-order.
@@ -187,6 +188,9 @@ def node2vec_walks(
     ``max_trials=None`` sizes the proposal panel from (p, q) via
     ``default_max_trials``.  ``eset`` may be passed when calling under jit
     with a traced graph; by default it is built (and cached) host-side.
+    ``sort_gather``: sort the frontier by current node each hop so the
+    proposal-panel CSR gathers are monotonic over HBM (statistically
+    identical walks; see walks/walker.py).
     """
     starts = starts.astype(jnp.int32)
     inv_p, inv_q = 1.0 / p, 1.0 / q
@@ -212,17 +216,24 @@ def node2vec_walks(
     if num_steps == 1:
         return jnp.stack([starts, c1], axis=1)
 
-    def step(carry, k):
-        prev, cur = carry
+    def hop(prev, cur, k):
         if mode == "exact":
-            nxt = _second_order_step_exact(
+            return _second_order_step_exact(
                 g, eset, nbrs, nwts, prev, cur, k, inv_p, inv_q
             )
+        return _second_order_step_rejection(
+            g, cumw, eset, prev, cur, k, inv_p, inv_q, max_trials,
+            weighted,
+        )
+
+    def step(carry, k):
+        prev, cur = carry
+        if sort_gather:
+            order = jnp.argsort(cur)
+            inv = jnp.argsort(order)
+            nxt = hop(prev[order], cur[order], k)[inv]
         else:
-            nxt = _second_order_step_rejection(
-                g, cumw, eset, prev, cur, k, inv_p, inv_q, max_trials,
-                weighted,
-            )
+            nxt = hop(prev, cur, k)
         nxt = jnp.where(cur < 0, -1, nxt)
         return (cur, nxt), nxt
 

@@ -260,3 +260,22 @@ def test_uniform_walks_sort_gather_weighted(small_random):
             if v < 0:
                 continue
             assert v in col2[rp2[u]: rp2[u + 1]], (b, t, u, v)
+
+
+def test_node2vec_walks_sort_gather_valid(small_random):
+    import jax
+    import jax.numpy as jnp
+    from graphtpu.walks.node2vec import node2vec_walks
+
+    g = small_random
+    w = np.asarray(node2vec_walks(
+        g, jnp.arange(48, dtype=jnp.int32), 6, p=0.5, q=2.0,
+        key=jax.random.key(9), sort_gather=True,
+    ))
+    rp, col = np.asarray(g.row_ptr), np.asarray(g.col)
+    for b in range(48):
+        for t in range(6):
+            u, v = w[b, t], w[b, t + 1]
+            if v < 0:
+                continue
+            assert v in col[rp[u]: rp[u + 1]], (b, t, u, v)
