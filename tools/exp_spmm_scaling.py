@@ -300,6 +300,36 @@ def run_memory(v=16384, n_dev=8):
     # replicated-W design needs >= n_dev x this (2 full iterates per
     # device); assert the sharded form's constant stays bounded.
     assert peak < 6 * share_bytes + (64 << 20), (peak, share_bytes)
+
+    # --- the 2-D SUMMA at the same V: per-device peak is also O(V²/n)
+    # with its own constant (S block + in-hand block + strips + a2a
+    # recv); the reduce/transpose collectives never materialise a
+    # replicated iterate.
+    from graphtpu.dist.spmm_summa import make_2d_mesh, make_summa_iter
+
+    r = max(2, n_dev // 2)
+    mesh2 = make_2d_mesh(r, n_dev // r)
+    plan2, v2, init2, run_n2, _zero = make_summa_iter(
+        g, mesh2, SimRankConfig(iterations=1)
+    )
+    lw2 = plan2.levels + plan2.weights
+    s2 = init2(jnp.zeros((r, n_dev // r), jnp.float32))
+    compiled2 = run_n2.lower(s2, 3, *lw2).compile()
+    ma2 = compiled2.memory_analysis()
+    peak2 = (
+        ma2.argument_size_in_bytes
+        + ma2.output_size_in_bytes
+        + ma2.temp_size_in_bytes
+    )
+    share2 = v2 * v2 * 4 // n_dev
+    report2 = {
+        "V": v, "grid": f"{r}x{n_dev//r}",
+        "xla_peak_mib": round(peak2 / 2**20, 1),
+        "per_device_share_mib": round(share2 / 2**20, 1),
+        "peak_vs_full_iterate": round(peak2 / (v2 * v2 * 4), 3),
+    }
+    print(json.dumps(report2))
+    assert peak2 < 8 * share2 + (64 << 20), (peak2, share2)
     return report
 
 
