@@ -81,21 +81,66 @@ def part_f1():
     })
 
 
-def part_spmm(hbm_full):
-    """The composed streaming-SpMM numbers (VERDICT r4 #1) via
-    bench.spmm_metrics — arxiv kahan/fast/fast16 + blog + seg2 suites,
-    genuinely-warm second calls."""
-    import graphtpu
-    import bench as benchmod
+def part_spmm(fits):
+    """The composed streaming-SpMM numbers (VERDICT r4 #1), probed as a
+    CAUTIOUS LADDER: read the graph + run the blog suite BEFORE any
+    multi-GB probe (a failed big allocation corrupts every later
+    allocation in the process — round-5), then probe up to arxiv.
+    ``fits(gib)`` is the caller's probe closure."""
+    import jax.numpy as jnp
 
+    import graphtpu
+    from graphtpu.core.reorder import rcm_order, relabel_graph
+    from bench import _spmm_suite
+
+    out = {}
     blog_g = (
         graphtpu.read_edgelist_graph(BLOG_EDGES, n_nodes=10496)
         if os.path.exists(BLOG_EDGES) else None
     )
-    out = benchmod.spmm_metrics(blog_g)
+    mid = fits(1.2)   # blog composed loop peaks ~2.2 GB
+    print(f"[batch] spmm mid tier (1.2 GiB x2): {mid}", flush=True)
+    if blog_g is not None and mid:
+        out.update(_spmm_suite(blog_g, "blog", [
+            ("fast", "fast", jnp.float32, 4.0, 1),
+        ]))
+        try:
+            g2, _ = relabel_graph(blog_g, rcm_order(blog_g))
+            out.update(_spmm_suite(g2, "blog", [
+                ("fast_seg2", "fast", jnp.float32, 4.0, 2),
+            ]))
+        except Exception as e:
+            print(f"[batch] blog seg2 failed {e!r}", flush=True)
+    elif blog_g is not None:
+        moreno = ("/root/reference/DeepSim/lshrank_data/realdata/"
+                  "moreno_crime_crime.txt")
+        if os.path.exists(moreno):
+            try:
+                gm = graphtpu.read_edgelist_graph(moreno)
+                out.update(_spmm_suite(gm, "moreno", [
+                    ("fast", "fast", jnp.float32, 4.0, 1),
+                ]))
+            except Exception as e:
+                print(f"[batch] moreno failed {e!r}", flush=True)
     if out:
-        save("spmm_composed", out)
-    else:
+        save("spmm_composed", dict(out))
+    if mid and fits(5.7) and os.path.exists(ARXIV):
+        ga = graphtpu.read_edgelist_graph(ARXIV, n_nodes=38912)
+        out.update(_spmm_suite(ga, "arxiv", [
+            ("kahan", "kahan", jnp.float32, 4.0, 1),
+            ("fast", "fast", jnp.float32, 4.0, 1),
+            ("fast16", "fast", jnp.bfloat16, 2.0, 1),
+        ]))
+        save("spmm_composed", dict(out))
+        try:
+            ga2, _ = relabel_graph(ga, rcm_order(ga))
+            out.update(_spmm_suite(ga2, "arxiv", [
+                ("fast_seg2", "fast", jnp.float32, 4.0, 2),
+            ]))
+        except Exception as e:
+            print(f"[batch] arxiv seg2 failed {e!r}", flush=True)
+        save("spmm_composed", dict(out))
+    if not out:
         print("[batch] spmm suite produced nothing", flush=True)
 
 
@@ -381,6 +426,13 @@ def main():
     t00 = time.time()
     hbm_full = None  # resolved lazily AFTER the small parts
 
+    def fits_fn(gib):
+        if jax.default_backend() == "cpu":
+            return True
+        if os.environ.get("GRAPHTPU_BATCH_NO_PROBE"):
+            return False
+        return _fits(gib)
+
     def full_tier():
         nonlocal hbm_full
         if hbm_full is None:
@@ -397,7 +449,7 @@ def main():
         ("f1", part_f1),
         ("segsum", part_segsum),
         ("walkloc", part_walkloc),
-        ("spmm", lambda: part_spmm(full_tier())),
+        ("spmm", lambda: part_spmm(fits_fn)),
         ("fast16", lambda: part_fast16(full_tier())),
         ("transpose", lambda: part_transpose(full_tier())),
         ("flagship", part_flagship_relabel),
