@@ -426,22 +426,21 @@ def main():
     t00 = time.time()
     hbm_full = None  # resolved lazily AFTER the small parts
 
+    probe_cache = {}
+
     def fits_fn(gib):
         if jax.default_backend() == "cpu":
             return True
         if os.environ.get("GRAPHTPU_BATCH_NO_PROBE"):
             return False
-        return _fits(gib)
+        if gib not in probe_cache:
+            probe_cache[gib] = _fits(gib)
+        return probe_cache[gib]
 
     def full_tier():
         nonlocal hbm_full
         if hbm_full is None:
-            if jax.default_backend() == "cpu":
-                hbm_full = True
-            elif os.environ.get("GRAPHTPU_BATCH_NO_PROBE"):
-                hbm_full = False
-            else:
-                hbm_full = _fits(5.7)
+            hbm_full = fits_fn(5.7)
             print(f"[batch] hbm full tier: {hbm_full}", flush=True)
         return hbm_full
 
