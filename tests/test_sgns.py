@@ -175,21 +175,6 @@ def test_segment_rows_sum_matmul_matches():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
-def test_segment_rows_sum_pallas_interpret():
-    from graphtpu.kernels.segsum_pallas import segment_rows_sum_pallas
-    from graphtpu.kernels.topk import segment_rows_sum
-
-    rng = np.random.default_rng(5)
-    n, d, v = 600, 7, 40
-    idx = jnp.asarray(rng.integers(-1, v, n).astype(np.int32))
-    rows = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    s1, c1 = segment_rows_sum(idx, rows, v)
-    s2, c2 = segment_rows_sum_pallas(idx, rows, v, chunk=128, tile_s=16, interpret=True)
-    # bf16 matmul inside the kernel: compare loosely
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0.05, rtol=0.02)
-    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
-
-
 def test_train_resume_reproduces_uninterrupted_run(tmp_path, small_random):
     """Checkpoint mid-run, resume from it: final params must equal the
     uninterrupted run (PRNG streams key off (epoch, chunk start))."""
