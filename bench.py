@@ -494,20 +494,13 @@ def spmm_metrics(blog_g=None):
     if jax.default_backend() == "cpu":
         log("spmm suite skipped: pallas streaming kernels are TPU-only")
         return {}
+    # CAUTIOUS LADDER (round-5: a failed multi-GB probe corrupts every
+    # later allocation in the process): blog first behind a 1.2 GiB
+    # probe, arxiv only after its own 5.5 GiB probe passes, moreno as
+    # the last-ditch tier.
     out = {}
-    arxiv_ok = os.path.exists(ARXIV) and _hbm_probe()
-    if arxiv_ok:
-        g = graphtpu.read_edgelist_graph(ARXIV, n_nodes=38912)
-        out.update(_spmm_suite(g, "arxiv", [
-            ("kahan", "kahan", jnp.float32, 4.0, 1),
-            ("fast", "fast", jnp.float32, 4.0, 1),
-            ("fast16", "fast", jnp.bfloat16, 2.0, 1),
-        ]))
-    # blog-scale composed loop: cheap, fits a poisoned member, and gives
-    # the spmm_blog_* numbers VERDICT r4 #1 asks for alongside arxiv —
-    # measured BEFORE the speculative arxiv seg2 so a dying compile
-    # service costs the least-important number last
-    if blog_g is not None:
+    mid = _hbm_probe(1.2)
+    if blog_g is not None and mid:
         try:
             out.update(_spmm_suite(blog_g, "blog", [
                 ("fast", "fast", jnp.float32, 4.0, 1),
@@ -518,8 +511,14 @@ def spmm_metrics(blog_g=None):
             ]))
         except Exception as e:  # pragma: no cover
             log(f"spmm blog failed: {e!r}")
-    if arxiv_ok:
-        # coalesced 2-row-DMA stream on the BFS-relabelled graph (the
+    if mid and os.path.exists(ARXIV) and _hbm_probe():
+        g = graphtpu.read_edgelist_graph(ARXIV, n_nodes=38912)
+        out.update(_spmm_suite(g, "arxiv", [
+            ("kahan", "kahan", jnp.float32, 4.0, 1),
+            ("fast", "fast", jnp.float32, 4.0, 1),
+            ("fast16", "fast", jnp.bfloat16, 2.0, 1),
+        ]))
+        # coalesced 2-row-DMA stream on the relabelled graph (the
         # adjacent-slot fraction is what the segment plan exploits)
         try:
             g2, _ = relabel_graph(g, rcm_order(g))
