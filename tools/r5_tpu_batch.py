@@ -205,7 +205,8 @@ def part_fast16(hbm_full):
 
 def part_transpose(hbm_full):
     """GRAPHTPU_SPMM_TP adjudication: time the pallas tiled flat
-    transpose vs the onejit on the arxiv iterate shape."""
+    transpose vs the onejit on the arxiv (full tier) or blog iterate
+    shape."""
     import jax
     import jax.numpy as jnp
 
@@ -444,8 +445,12 @@ def main():
     ):
         if only and name not in only:
             continue
-        if name in ("fast16", "transpose", "flagship") and not full_tier():
+        if name == "fast16" and not full_tier():
             print(f"[batch] {name} skipped: needs the full HBM tier",
+                  flush=True)
+            continue
+        if name == "flagship" and not fits_fn(2.5):
+            print(f"[batch] {name} skipped: needs ~5 GiB free",
                   flush=True)
             continue
         t0 = time.time()
