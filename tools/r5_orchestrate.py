@@ -22,7 +22,8 @@ PART_KEYS = {
     "f1": ["blogcatalog_f1"],
     "spmm": ["spmm_composed"],
     "fast16": ["fast16_vrange_demo"],
-    "transpose": ["transpose_ms_v38912"],
+    "transpose": ["transpose_ms_v11264"],
+    "transpose_arxiv": ["transpose_ms_v38912"],
     "walkloc": ["walk_locality_arxiv"],
     "segsum": ["segsum_blogshape"],
     "flagship": ["flagship_relabel"],

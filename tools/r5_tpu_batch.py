@@ -203,16 +203,14 @@ def part_fast16(hbm_full):
     })
 
 
-def part_transpose(hbm_full):
+def part_transpose(v):
     """GRAPHTPU_SPMM_TP adjudication: time the pallas tiled flat
-    transpose vs the onejit on the arxiv (full tier) or blog iterate
-    shape."""
+    transpose vs the onejit at iterate shape ``v`` (blog 11264 on
+    mid-tier members, arxiv 38912 on full-tier)."""
     import jax
     import jax.numpy as jnp
 
     from graphtpu.simrank.exact import _spmm_stages
-
-    v = 38912 if hbm_full else 11264  # arxiv-padded or blog-padded
     st = _spmm_stages(v, v, 0.6, False, jnp.float32, False, "onejit")
     out = {}
     for tag in ("transpose_onejit", "transpose_pallas"):
@@ -434,23 +432,31 @@ def main():
             print(f"[batch] hbm full tier: {hbm_full}", flush=True)
         return hbm_full
 
+    # STRICTLY ASCENDING probe order: a failed multi-GB probe corrupts
+    # every later allocation, so no part may trigger a bigger probe
+    # than its successors need (round-5, twice bitten)
     for name, fn in (
         ("f1", part_f1),
         ("segsum", part_segsum),
         ("walkloc", part_walkloc),
-        ("spmm", lambda: part_spmm(fits_fn)),
-        ("fast16", lambda: part_fast16(full_tier())),
-        ("transpose", lambda: part_transpose(full_tier())),
-        ("flagship", part_flagship_relabel),
+        ("transpose", lambda: part_transpose(11264)),      # fits(1.2)
+        ("flagship", part_flagship_relabel),               # fits(2.5)
+        ("spmm", lambda: part_spmm(fits_fn)),              # 1.2 then 5.7
+        ("fast16", lambda: part_fast16(full_tier())),      # full
+        ("transpose_arxiv", lambda: part_transpose(38912)),
     ):
         if only and name not in only:
             continue
-        if name == "fast16" and not full_tier():
-            print(f"[batch] {name} skipped: needs the full HBM tier",
+        if name == "transpose" and not fits_fn(1.2):
+            print(f"[batch] {name} skipped: needs ~2.5 GiB free",
                   flush=True)
             continue
         if name == "flagship" and not fits_fn(2.5):
             print(f"[batch] {name} skipped: needs ~5 GiB free",
+                  flush=True)
+            continue
+        if name in ("fast16", "transpose_arxiv") and not full_tier():
+            print(f"[batch] {name} skipped: needs the full HBM tier",
                   flush=True)
             continue
         t0 = time.time()
