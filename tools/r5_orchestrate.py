@@ -20,7 +20,7 @@ OUT = os.path.join(os.path.dirname(HERE), "results", "r5_batch.json")
 
 PART_KEYS = {
     "f1": ["blogcatalog_f1"],
-    "spmm": ["spmm_composed"],
+    "spmm": ["spmm_composed.spmm_arxiv_fast_ms_per_iter"],
     "fast16": ["fast16_vrange_demo"],
     "transpose": ["transpose_ms_v11264"],
     "transpose_arxiv": ["transpose_ms_v38912"],
@@ -35,8 +35,15 @@ def done_parts():
         res = json.load(open(OUT))
     except Exception:
         return set()
-    return {p for p, keys in PART_KEYS.items()
-            if all(k in res for k in keys)}
+    def has(key):
+        node = res
+        for part in key.split("."):
+            if not isinstance(node, dict) or part not in node:
+                return False
+            node = node[part]
+        return True
+
+    return {p for p, keys in PART_KEYS.items() if all(has(k) for k in keys)}
 
 
 def main():

@@ -93,14 +93,18 @@ def part_spmm(fits):
     from graphtpu.core.reorder import rcm_order, relabel_graph
     from bench import _spmm_suite
 
-    out = {}
+    out = dict(RES.get("spmm_composed", {}))
+    blog_done = "spmm_blog_fast_ms_per_iter" in out
     blog_g = (
         graphtpu.read_edgelist_graph(BLOG_EDGES, n_nodes=10496)
         if os.path.exists(BLOG_EDGES) else None
     )
     mid = fits(1.2)   # blog composed loop peaks ~2.2 GB
     print(f"[batch] spmm mid tier (1.2 GiB x2): {mid}", flush=True)
-    if blog_g is not None and mid:
+    if blog_done:
+        print("[batch] blog suite already measured; arxiv only",
+              flush=True)
+    elif blog_g is not None and mid:
         out.update(_spmm_suite(blog_g, "blog", [
             ("fast", "fast", jnp.float32, 4.0, 1),
         ]))
