@@ -207,6 +207,113 @@ def part_fast16(hbm_full):
     })
 
 
+def part_arxiv16(fits):
+    """Round-5 session-2: the arxiv composed number the pool CAN hold.
+
+    Measured ceiling after recycling all four workers (ladder probe):
+    ~10.4-11.0 GiB free pool-wide — the remaining ~5 GB is the four
+    workers' baseline reservations, so the arxiv f32 suite (two 6.06 GB
+    iterates + transpose scratch ≈ 12.1+ GB) is STRUCTURALLY infeasible
+    on the shared pool, not leak-blocked.  What fits is fast16: bf16
+    iterates are 3.03 GB, peak ~3 iterate buffers ≈ 9.1 GB.  This part
+    delivers (a) the composed arxiv fast16 per-iteration number
+    (VERDICT r4 #1 at target scale, reduced precision), (b) the
+    transpose adjudication at the SAME bf16 arxiv stage set (VERDICT r4
+    #6 — shares the suite's compiles via the _spmm_stages lru_cache),
+    and (c) the V-range demo in its honest form: the reference's own
+    arxiv dataset cannot run f32 on this pool but runs bf16
+    (VERDICT r4 #8)."""
+    import jax
+    import jax.numpy as jnp
+
+    import graphtpu
+    from bench import _spmm_suite
+
+    if not (fits(3.2) and os.path.exists(ARXIV)):
+        print("[batch] arxiv16 skipped: needs ~6.4 GiB free", flush=True)
+        return
+    ga = graphtpu.read_edgelist_graph(ARXIV, n_nodes=38912)
+    out = dict(RES.get("spmm_composed", {}))
+    out.update(_spmm_suite(ga, "arxiv", [
+        ("fast16", "fast", jnp.bfloat16, 2.0, 1),
+    ]))
+    save("spmm_composed", dict(out))
+    if "spmm_arxiv_fast16_ms_per_iter" in out:
+        per = out["spmm_arxiv_fast16_ms_per_iter"]
+        save("fast16_vrange_demo", {
+            "V": 38912, "dataset": "arxiv",
+            "per_iter_ms": per,
+            "note": ("arxiv f32 iterates (2x6.06 GB + transpose scratch)"
+                     " exceed the shared pool's measured ~10.4-11.0 GiB"
+                     " free ceiling (ladder probe after recycling all 4"
+                     " workers); bf16 runs — fast16 doubles the V range"
+                     " on this pool"),
+        })
+    # transpose adjudication at the bf16 arxiv iterate shape: the
+    # suite's stage dict is lru_cached, so both transposes are already
+    # built against these shapes (pallas adds one compile)
+    from graphtpu.simrank.exact import _spmm_stages
+    v = 38912
+    st = _spmm_stages(v, v, 0.6, False, jnp.bfloat16, False, "onejit")
+    res = {}
+    for tag in ("transpose_onejit", "transpose_pallas"):
+        try:
+            fn = st[tag]
+            x = jnp.zeros(((v + 1) * v,), jnp.bfloat16) + 1.0
+            y = fn(x)
+            jax.block_until_ready(y)
+            del x, y
+            best = 1e9
+            for _ in range(3):
+                x2 = jnp.zeros(((v + 1) * v,), jnp.bfloat16) + 1.0
+                jax.block_until_ready(x2)
+                t0 = time.time()
+                y = fn(x2)
+                jax.block_until_ready(y)
+                best = min(best, time.time() - t0)
+                del x2, y
+            res[tag] = round(best * 1e3, 1)
+            print(f"[tp16] {tag}: {best*1e3:.1f} ms", flush=True)
+        except Exception as e:
+            res[tag] = f"failed: {e!r}"
+            print(f"[tp16] {tag} failed: {e!r}", flush=True)
+    save("transpose_ms_v38912_bf16", res)
+
+
+def part_parity16():
+    """fast16 top-20 parity vs the kahan f32 path at blog scale (the
+    largest V whose f32 suite fits the pool) — closes VERDICT r4 #8's
+    parity clause with a same-dataset agreement number."""
+    import jax
+    import jax.numpy as jnp
+
+    import graphtpu
+    from graphtpu.core.config import SimRankConfig
+    from graphtpu.simrank.exact import exact_simrank_spmm
+
+    g = graphtpu.read_edgelist_graph(BLOG_EDGES, n_nodes=10496)
+    t0 = time.time()
+    s_k = exact_simrank_spmm(g, SimRankConfig(iterations=5),
+                             spmv_mode="kahan")
+    vk, ik = jax.jit(lambda s: jax.lax.top_k(s[:512], 20))(s_k)
+    ik = np.asarray(ik)
+    del s_k, vk
+    print(f"[parity16] kahan 5 iters: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    s_f = exact_simrank_spmm(g, SimRankConfig(iterations=5),
+                             spmv_mode="fast", dtype=jnp.bfloat16)
+    vf, if_ = jax.jit(
+        lambda s: jax.lax.top_k(s[:512].astype(jnp.float32), 20)
+    )(s_f)
+    if_ = np.asarray(if_)
+    del s_f, vf
+    print(f"[parity16] fast16 5 iters: {time.time()-t0:.1f}s", flush=True)
+    agree = np.mean([
+        len(set(ik[r]) & set(if_[r])) / 20 for r in range(512)
+    ])
+    save("fast16_blog_top20_agreement", round(float(agree), 4))
+
+
 def part_transpose(v):
     """GRAPHTPU_SPMM_TP adjudication: time the pallas tiled flat
     transpose vs the onejit at iterate shape ``v`` (blog 11264 on
@@ -446,10 +553,16 @@ def main():
         ("transpose", lambda: part_transpose(11264)),      # fits(1.2)
         ("flagship", part_flagship_relabel),               # fits(2.5)
         ("spmm", lambda: part_spmm(fits_fn)),              # 1.2 then 5.7
+        ("parity16", part_parity16),                       # fits(1.2)
+        ("arxiv16", lambda: part_arxiv16(fits_fn)),        # fits(3.2)
         ("fast16", lambda: part_fast16(full_tier())),      # full
         ("transpose_arxiv", lambda: part_transpose(38912)),
     ):
         if only and name not in only:
+            continue
+        if name == "parity16" and not fits_fn(1.2):
+            print(f"[batch] {name} skipped: needs ~2.5 GiB free",
+                  flush=True)
             continue
         if name == "transpose" and not fits_fn(1.2):
             print(f"[batch] {name} skipped: needs ~2.5 GiB free",
