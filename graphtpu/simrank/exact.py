@@ -129,7 +129,7 @@ def _spmm_mul_stages_impl(v, c, spmv_mode, interpret, eager, unroll):
 
 
 @functools.lru_cache(maxsize=8)
-def _spmm_stages(v, v_real, c, interpret, dtype, eager, tp_impl):
+def _spmm_stages(v, v_real, c, interpret, dtype, eager):
     """Stage executables for the streaming SimRank loop, CACHED across
     ``exact_simrank_spmm`` calls.
 
@@ -146,8 +146,6 @@ def _spmm_stages(v, v_real, c, interpret, dtype, eager, tp_impl):
     live iterate-sized buffers.  NO donation on the muls: x is the
     kernel's random-access TABLE.
     """
-    from graphtpu.kernels.transpose import transpose_flat_pallas
-
     maybe_jit = (lambda f: f) if eager else jax.jit
 
     tp_b = min(v, 4096)
@@ -168,10 +166,10 @@ def _spmm_stages(v, v_real, c, interpret, dtype, eager, tp_impl):
         parts.append(jnp.zeros((v,), dtype))
         return jnp.concatenate(parts)
 
-    @maybe_jit
-    def transpose_pallas(ps):
-        # two clean memory passes (tile DMAs + VPU transpose)
-        return transpose_flat_pallas(ps, v, interpret=interpret)
+    # (A pallas tiled flat transpose was adjudicated OUT in round 5:
+    # statistical tie with the onejit at the blog f32 shape, 33.6 vs
+    # 33.7 ms, and Mosaic rejects its 2-D->1-D vector reshape at bf16 —
+    # the onejit won by default at the arxiv bf16 shape, 79 ms.)
 
     # Elementwise stages stay 1-D: the diagonal of a row-major [v, v]
     # lives at flat indices ≡ 0 (mod v+1), so no flat->2-D reshape is
@@ -216,7 +214,6 @@ def _spmm_stages(v, v_real, c, interpret, dtype, eager, tp_impl):
     nf, rem = divmod(v_real, fp_b)
     return {
         "transpose_onejit": transpose_onejit,
-        "transpose_pallas": transpose_pallas,
         "scale_pin_flat": scale_pin_flat,
         "init_flat": init_flat,
         "zero_diag_flat": zero_diag_flat,
@@ -295,11 +292,8 @@ def exact_simrank_spmm(
             plan = build_spmv_stream(g, weighted=weighted)
 
         eager = bool(os.environ.get("GRAPHTPU_EAGER"))
-        tp_impl = os.environ.get("GRAPHTPU_SPMM_TP", "onejit")
         assert v * v < 2**31, "flat int32 iota overflow; shard instead"
-        st = _spmm_stages(
-            v, v_real, cfg.c, interpret, dtype, eager, tp_impl
-        )
+        st = _spmm_stages(v, v_real, cfg.c, interpret, dtype, eager)
 
         # GRAPHTPU_HARD_SYNC=1: drain the async queue after every stage
         # with a 1-element readback.  Under the remote runtime
@@ -318,8 +312,7 @@ def exact_simrank_spmm(
             v, cfg.c, spmv_mode, interpret, eager
         )
         scale_pin_flat = st["scale_pin_flat"]
-        tp_stage = st["transpose_pallas" if tp_impl == "pallas"
-                      else "transpose_onejit"]
+        tp_stage = st["transpose_onejit"]
         tp_b, n_full, tp_rem = st["tp_b"], st["n_full"], st["tp_rem"]
 
         if os.environ.get("GRAPHTPU_SPMM_PROFILE"):

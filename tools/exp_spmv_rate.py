@@ -366,18 +366,9 @@ def main():
                         ps[: v * v].reshape(v, v).T.reshape(-1), (0, v)
                     )
 
-                from graphtpu.kernels.transpose import (
-                    transpose_flat_pallas,
-                )
-
-                tp_pallas = jax.jit(
-                    lambda ps: transpose_flat_pallas(
-                        ps, v, interpret=INTERP
-                    )
-                )
-
-                for tname, tfn in (("tp_pallas", tp_pallas),
-                                   ("tp_onejit", tp_onejit),
+                # (tp_pallas adjudicated OUT round 5 and deleted:
+                # blog-f32 tie, Mosaic-rejected at bf16)
+                for tname, tfn in (("tp_onejit", tp_onejit),
                                    ("tp_plain2d", tp_plain2d)):
                     key = f"{name}_{tname}"
                     try:

@@ -249,14 +249,14 @@ def part_arxiv16(fits):
                      " workers); bf16 runs — fast16 doubles the V range"
                      " on this pool"),
         })
-    # transpose adjudication at the bf16 arxiv iterate shape: the
-    # suite's stage dict is lru_cached, so both transposes are already
-    # built against these shapes (pallas adds one compile)
+    # transpose timing at the bf16 arxiv iterate shape (the pallas
+    # candidate was adjudicated OUT: blog-f32 tie + Mosaic rejects its
+    # 2-D->1-D vector reshape at bf16; results/r5_batch.json)
     from graphtpu.simrank.exact import _spmm_stages
     v = 38912
-    st = _spmm_stages(v, v, 0.6, False, jnp.bfloat16, False, "onejit")
+    st = _spmm_stages(v, v, 0.6, False, jnp.bfloat16, False)
     res = {}
-    for tag in ("transpose_onejit", "transpose_pallas"):
+    for tag in ("transpose_onejit",):
         try:
             fn = st[tag]
             x = jnp.zeros(((v + 1) * v,), jnp.bfloat16) + 1.0
@@ -315,16 +315,16 @@ def part_parity16():
 
 
 def part_transpose(v):
-    """GRAPHTPU_SPMM_TP adjudication: time the pallas tiled flat
-    transpose vs the onejit at iterate shape ``v`` (blog 11264 on
-    mid-tier members, arxiv 38912 on full-tier)."""
+    """Time the (sole, post-adjudication) onejit flat transpose at
+    iterate shape ``v`` (blog 11264 on mid-tier members, arxiv 38912 on
+    full-tier)."""
     import jax
     import jax.numpy as jnp
 
     from graphtpu.simrank.exact import _spmm_stages
-    st = _spmm_stages(v, v, 0.6, False, jnp.float32, False, "onejit")
+    st = _spmm_stages(v, v, 0.6, False, jnp.float32, False)
     out = {}
-    for tag in ("transpose_onejit", "transpose_pallas"):
+    for tag in ("transpose_onejit",):
         try:
             fn = st[tag]
             # onejit donates its input; rebuild x for every call
