@@ -511,12 +511,21 @@ def spmm_metrics(blog_g=None):
             ]))
         except Exception as e:  # pragma: no cover
             log(f"spmm blog failed: {e!r}")
+    # fast16 tier: bf16 iterates are 3.03 GB (peak ~3 live), so the
+    # arxiv composed number is reachable on a pool whose shared free
+    # ceiling (~10.5 GiB with all four workers resident, round-5 ladder
+    # probe) can never hold the f32 suite's 2x6.06 GB + scratch
+    if mid and os.path.exists(ARXIV) and _hbm_probe(3.2):
+        g16 = graphtpu.read_edgelist_graph(ARXIV, n_nodes=38912)
+        out.update(_spmm_suite(g16, "arxiv", [
+            ("fast16", "fast", jnp.bfloat16, 2.0, 1),
+        ]))
+        del g16
     if mid and os.path.exists(ARXIV) and _hbm_probe():
         g = graphtpu.read_edgelist_graph(ARXIV, n_nodes=38912)
         out.update(_spmm_suite(g, "arxiv", [
             ("kahan", "kahan", jnp.float32, 4.0, 1),
             ("fast", "fast", jnp.float32, 4.0, 1),
-            ("fast16", "fast", jnp.bfloat16, 2.0, 1),
         ]))
         # coalesced 2-row-DMA stream on the relabelled graph (the
         # adjacent-slot fraction is what the segment plan exploits)
