@@ -23,7 +23,10 @@ PART_KEYS = {
     "spmm": ["spmm_composed.spmm_arxiv_fast_ms_per_iter"],
     "fast16": ["fast16_vrange_demo"],
     "transpose": ["transpose_ms_v11264"],
-    "transpose_arxiv": ["transpose_ms_v38912"],
+    "transpose_arxiv": ["transpose_ms_v38912_bf16"],
+    "arxiv16": ["spmm_composed.spmm_arxiv_fast16_ms_per_iter",
+                "transpose_ms_v38912_bf16"],
+    "parity16": ["fast16_blog_top20_agreement"],
     "walkloc": ["walk_locality_arxiv"],
     "segsum": ["segsum_blogshape"],
     "flagship": ["flagship_relabel"],
